@@ -1,0 +1,134 @@
+"""Core enums, configs and result containers.
+
+Parity with the reference's `include/CORA/CORA_types.h` (Formulation,
+Preconditioner, Initialization, CertResults) plus the solver/cert
+parameter sets that the reference hardcodes in `src/CORA.cpp:95-116`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import numpy as np
+
+
+class Formulation(enum.Enum):
+    # optimize over rotations, unit spheres AND translations
+    EXPLICIT = "explicit"
+    # analytically marginalize translations out (reference `CORA_types.h:51-56`)
+    IMPLICIT = "implicit"
+
+
+class Preconditioner(enum.Enum):
+    NONE = "none"
+    JACOBI = "jacobi"
+    BLOCK_JACOBI = "block_jacobi"  # TPU-native: batched d×d diagonal blocks
+    BLOCK_CHOLESKY = "block_cholesky"
+    REGULARIZED_CHOLESKY = "regularized_cholesky"
+
+
+class Initialization(enum.Enum):
+    RANDOM = "random"
+    ODOMETRY = "odometry"
+
+
+@dataclasses.dataclass
+class TNTParams:
+    """Truncated-Newton trust-region parameters.
+
+    Defaults mirror the values the reference hardcodes for CORA at
+    `src/CORA.cpp:95-109` (Delta0=5, alpha2=3, 80 tCG iterations, 250
+    outer iterations, 1e-6 gradient tolerances, theta=0.8).
+    """
+
+    delta0: float = 5.0
+    alpha1: float = 0.25  # trust-region shrink factor
+    alpha2: float = 3.0  # trust-region growth factor
+    eta1: float = 0.05  # min rho for a successful step
+    eta2: float = 0.9  # rho above which the step is "very successful"
+    max_tcg_iterations: int = 80
+    max_iterations: int = 250
+    gradient_tolerance: float = 1e-6
+    preconditioned_gradient_tolerance: float = 1e-6
+    relative_decrease_tolerance: float = 1e-6
+    stepsize_tolerance: float = 1e-6
+    delta_tolerance: float = 1e-5
+    kappa_fgr: float = 0.1  # tCG fractional gradient reduction
+    theta: float = 0.8  # tCG superlinear convergence exponent
+    max_computation_time: float = 20.0  # seconds, enforced host-side per rank
+
+
+@dataclasses.dataclass
+class CertParams:
+    """Certification parameters (reference `src/CORA.cpp:112-116`)."""
+
+    min_eta: float = 1e-7
+    max_eta: float = 1e-1
+    rel_eta: float = 5e-6
+    lobpcg_block_size: int = 10
+    max_lobpcg_iters: int = 500
+    lobpcg_tol: float = 1e-6
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Top-level solve configuration (replaces `examples/config.json` +
+    the env vars scattered through the reference)."""
+
+    max_rank: int = 10
+    init_rank_jump: int = 0
+    formulation: Formulation = Formulation.EXPLICIT
+    preconditioner: Preconditioner = Preconditioner.REGULARIZED_CHOLESKY
+    initialization: Initialization = Initialization.RANDOM
+    dtype: Any = np.float64  # device compute dtype (float32 for raw TPU speed)
+    tnt: TNTParams = dataclasses.field(default_factory=TNTParams)
+    cert: CertParams = dataclasses.field(default_factory=CertParams)
+    reg_chol_max_cond: float = 1e6  # CORA_REG_CHOLESKY_MAX_COND analog
+    seed: int = 0
+    verbose: bool = False
+    log_iterates: bool = False
+
+
+@dataclasses.dataclass
+class CertResults:
+    """Certification outcome (reference `CORA_types.h:58-64`)."""
+
+    is_certified: bool
+    theta: float
+    x: np.ndarray  # min-eigenvector estimate
+    all_eigvecs: np.ndarray  # LOBPCG block, bootstraps the next rank level
+    num_iters: int
+
+
+@dataclasses.dataclass
+class TNTResult:
+    """Outer-solver result (mirrors the `TNTResult` fields the reference
+    consumes in `tests/test_cora.cpp:15-37`)."""
+
+    f: float
+    x: Any
+    gradfx_norm: float
+    preconditioned_gradfx_norm: float
+    num_iterations: int
+    inner_iterations: np.ndarray
+    objective_values: np.ndarray
+    gradient_norms: np.ndarray
+    preconditioned_gradient_norms: np.ndarray
+    update_step_norms: np.ndarray
+    elapsed_time: float
+    status: str = ""
+    iterates: list | None = None
+
+
+@dataclasses.dataclass
+class CoraResult:
+    """Full staircase solve result."""
+
+    result: TNTResult
+    certified: bool
+    theta: float
+    eta: float
+    ranks_visited: list
+    iterates: list | None = None
