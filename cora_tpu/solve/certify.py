@@ -1,0 +1,198 @@
+"""Optimality certification: Lagrange multipliers, certificate operator,
+and the fast PSD verification cascade.
+
+Parity with the reference (`src/CORA_problem.cpp:1030-1166`,
+`src/CORA_utils.cpp:17-186` — Algorithm 3 of "Accelerating Certifiable
+Estimation with Preconditioned Eigensolvers"):
+
+  1. SVD-ratio early exit: σ_max/σ_min(Y) > 1e6 ⇒ rank-deficient ⇒
+     treat as certified (`CORA_problem.cpp:1036-1049`).
+  2. Λ blocks — Stiefel: sym((QY)_i Y_iᵀ) per pose; Oblique: row inner
+     products ⟨Y_e, (QY)_e⟩ (`CORA_problem.cpp:1105-1131`).
+  3. Certificate S = Q − Λ; PSD ⟺ the rank-restricted solution is a
+     global optimum of the SDP relaxation.
+  4. Verification cascade: dense eigendecomposition for small problems
+     (`CORA_utils.cpp:63-74`), otherwise unpreconditioned LOBPCG with a
+     1%-budget early-stop pass, then Jacobi-preconditioned LOBPCG with
+     the remaining budget (`CORA_utils.cpp:101-176`; the reference uses
+     an ILDL factorization host-side — on TPU a clamped diagonal
+     preconditioner keeps the whole test on device).
+  5. NaN-θ retry with doubled η happens in the caller
+     (`CORA_problem.cpp:1076-1083` → `cora_tpu.solve.staircase`).
+
+S is never materialized on device: S·V = Q·V − Λ·V with Q in factored
+edge form and Λ as batched d×d blocks + a diagonal.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cora_tpu.graph.data import ProblemData
+from cora_tpu.ops.lobpcg import lobpcg_min
+from cora_tpu.ops.quadratic import data_matrix_product, join_state, split_state
+from cora_tpu.types import CertResults
+
+DENSE_CUTOFF = 100  # reference `CORA_utils.cpp:63`
+
+
+def compute_lambda_blocks(pd: ProblemData, Y: jax.Array, QY=None):
+    """Lagrange-multiplier blocks (reference `compute_Lambda_blocks`)."""
+    if QY is None:
+        QY = data_matrix_product(pd, Y)
+    Yrot, Ysph, _ = split_state(pd, Y)
+    Grot, Gsph, _ = split_state(pd, QY)
+    P = jnp.einsum("ndr,ner->nde", Grot, Yrot)  # (QY)_i Y_iᵀ per pose
+    Lam_rot = 0.5 * (P + jnp.swapaxes(P, -1, -2))  # (n, d, d)
+    lam_sph = jnp.sum(Ysph * Gsph, axis=-1)  # (m,)
+    return Lam_rot, lam_sph
+
+
+def apply_lambda(pd: ProblemData, Lam_rot, lam_sph, V: jax.Array) -> jax.Array:
+    Vrot, Vsph, Vtr = split_state(pd, V)
+    LV_rot = jnp.einsum("nde,ner->ndr", Lam_rot, Vrot)
+    LV_sph = lam_sph[:, None] * Vsph
+    return join_state(pd, LV_rot, LV_sph, jnp.zeros_like(Vtr))
+
+
+def make_certificate_operator(pd: ProblemData, Y: jax.Array):
+    """Returns S(V) = QV − ΛV and the Λ blocks."""
+    Lam_rot, lam_sph = compute_lambda_blocks(pd, Y)
+
+    def S(V):
+        return data_matrix_product(pd, V) - apply_lambda(pd, Lam_rot, lam_sph, V)
+
+    return S, (Lam_rot, lam_sph)
+
+
+def materialize_certificate(problem, pd: ProblemData, Y) -> np.ndarray:
+    """Dense S = Q − Λ on host (small problems / golden tests)."""
+    Q = problem.data_matrix().toarray()
+    Lam_rot, lam_sph = compute_lambda_blocks(pd, jnp.asarray(Y))
+    Lam_rot = np.asarray(Lam_rot)
+    lam_sph = np.asarray(lam_sph)
+    S = Q.copy()
+    d = pd.d
+    for i in range(pd.n):
+        S[i * d:(i + 1) * d, i * d:(i + 1) * d] -= Lam_rot[i]
+    for e in range(pd.m):
+        S[pd.rot_size + e, pd.rot_size + e] -= lam_sph[e]
+    return S
+
+
+def certify_solution(
+    problem,
+    pd: ProblemData,
+    Y: jax.Array,
+    eta: float,
+    nx: int = 10,
+    eigvec_bootstrap=None,
+    max_lobpcg_iters: int = 500,
+    tol: float = 1e-3,
+    seed: int = 0,
+) -> CertResults:
+    """Certify Y as a global optimum (reference `certify_solution`)."""
+    Y = jnp.asarray(Y)
+    N = pd.size
+    r = Y.shape[1]
+
+    # --- rank-deficiency early exit (`CORA_problem.cpp:1036-1049`) ---
+    # Unlike the reference, this is gated on Y actually being (near) a
+    # critical point: at a non-critical rank-deficient Y the certificate
+    # math is meaningless and certifying it would end the staircase on a
+    # garbage iterate.
+    from cora_tpu.ops.riemannian import riemannian_gradient
+
+    grad_norm = float(jnp.linalg.norm(riemannian_gradient(pd, Y)))
+    sv = np.linalg.svd(np.asarray(Y), compute_uv=False)
+    critical = grad_norm <= 1e-3 * max(1.0, float(sv[0]))
+    if critical and (sv[-1] == 0 or sv[0] / sv[-1] > 1e6):
+        return CertResults(
+            is_certified=True,
+            theta=0.0,
+            x=np.zeros(N),
+            all_eigvecs=np.zeros((N, nx)),
+            num_iters=0,
+        )
+
+    num_eigvecs = min(max(nx, r + 2), N)
+
+    # --- small problems: dense eigendecomposition (`CORA_utils.cpp:63-74`) ---
+    if N <= DENSE_CUTOFF:
+        S = materialize_certificate(problem, pd, Y)
+        w, V = np.linalg.eigh(S)
+        theta = float(w[0])
+        return CertResults(
+            is_certified=bool(theta >= -eta),
+            theta=theta,
+            x=V[:, 0],
+            all_eigvecs=V[:, :num_eigvecs],
+            num_iters=0,
+        )
+
+    # --- large problems: LOBPCG cascade on M = S + ηI ---
+    S_op, _ = make_certificate_operator(pd, Y)
+    eta = float(eta)
+
+    def M_op(V):
+        return S_op(V) + eta * V
+
+    rng = np.random.default_rng(seed)
+    X0 = jnp.asarray(rng.standard_normal((N, num_eigvecs)), dtype=Y.dtype)
+    if eigvec_bootstrap is not None:
+        boot = jnp.asarray(eigvec_bootstrap)
+        if boot.ndim == 1:
+            boot = boot[:, None]
+        ncols = min(boot.shape[1], num_eigvecs)
+        X0 = X0.at[:, :ncols].set(boot[:, :ncols])
+
+    # stage 1: unpreconditioned, 1% of budget, early-stop on obviously
+    # negative curvature (`CORA_utils.cpp:101-126`)
+    it1 = max(int(0.01 * max_lobpcg_iters), 3)
+    theta_blk, X_blk, k1, _ = lobpcg_min(
+        M_op, X0, it1, tol=tol, nev=1, early_stop_below=eta / 2.0
+    )
+    x = X_blk[:, 0]
+    theta = float(x @ S_op(x[:, None])[:, 0])
+    iters = int(k1)
+
+    if theta >= -eta / 2.0:
+        # stage 2: Jacobi-preconditioned LOBPCG with the remaining budget
+        from cora_tpu.ops.quadratic import jacobi_diagonal
+
+        Lam_rot, lam_sph = compute_lambda_blocks(pd, Y)
+        diagS = jacobi_diagonal(pd)
+        diag_rot = (
+            jnp.diagonal(Lam_rot, axis1=-2, axis2=-1).reshape(-1)
+            if pd.n
+            else jnp.zeros((0,), Y.dtype)
+        )
+        lam_diag = jnp.concatenate(
+            [diag_rot, lam_sph, jnp.zeros((pd.num_translations,), Y.dtype)]
+        )
+        diagM = diagS - lam_diag + eta
+        inv_diag = jnp.where(jnp.abs(diagM) > 1e-8, 1.0 / jnp.abs(diagM), 1.0)[:, None]
+
+        def precon(V):
+            return inv_diag * V
+
+        it2 = max_lobpcg_iters - it1
+        theta_blk, X_blk, k2, _ = lobpcg_min(
+            M_op, X_blk, it2, tol=tol, nev=1, precon=precon,
+            early_stop_below=eta / 2.0,
+        )
+        x = X_blk[:, 0]
+        theta = float(x @ S_op(x[:, None])[:, 0])
+        iters += int(k2)
+
+    return CertResults(
+        is_certified=bool(theta >= -eta),
+        theta=theta,
+        x=np.asarray(x),
+        all_eigvecs=np.asarray(X_blk),
+        num_iters=iters,
+    )

@@ -4,23 +4,21 @@ Multi-chip sharding is validated without TPU hardware by forcing the host
 platform to expose 8 virtual devices (the standard JAX way to test
 multi-device code; SURVEY.md §4).
 
-The container's sitecustomize pre-imports jax with the axon TPU platform
-before any test code runs, so platform env vars set here are too late —
-conftest re-execs pytest once with the right environment.
+The container's sitecustomize pre-imports jax with the axon TPU platform,
+so env vars are too late — but jax backends initialize lazily, so
+flipping the `jax_platforms` config here (before any jax computation)
+reliably pins tests to CPU.
 """
 
 import os
-import sys
 
-if os.environ.get("CORA_TPU_TEST_CHILD") != "1":
-    env = dict(os.environ)
-    env["CORA_TPU_TEST_CHILD"] = "1"
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

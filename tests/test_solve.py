@@ -1,0 +1,104 @@
+"""End-to-end staircase solve tests (reference `tests/test_cora.cpp` plus
+certification unit tests from `tests/test_certification.cpp`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cora_tpu import parse_pyfg, solve_cora
+from cora_tpu.ops.lobpcg import lobpcg_min
+from cora_tpu.solve.certify import certify_solution, materialize_certificate
+from cora_tpu.types import Preconditioner, SolverConfig
+
+PROBLEMS = ["single_rpm", "single_range", "small_ra_slam_problem"]
+
+
+@pytest.mark.parametrize("subdir", PROBLEMS)
+@pytest.mark.parametrize(
+    "precon", [Preconditioner.JACOBI, Preconditioner.REGULARIZED_CHOLESKY]
+)
+def test_solve_fixture_certified(fixtures_dir, subdir, precon):
+    problem = parse_pyfg(str(fixtures_dir / subdir / "factor_graph.pyfg"))
+    cfg = SolverConfig(preconditioner=precon, seed=3)
+    res = solve_cora(problem, config=cfg)
+    assert res.certified
+    # all fixtures are noiseless: the certified optimum has zero cost
+    assert res.result.f < 1e-6
+    assert res.result.x.shape == (problem.data_matrix_size, problem.dim)
+
+
+def test_certificate_zero_lambda_at_ground_truth(fixtures_dir):
+    """At the noiseless ground truth, Λ = 0 and S = Q
+    (reference `test_certification.cpp`)."""
+    from cora_tpu.io.matrix_market import read_matrix_market_dense
+    from cora_tpu.solve.certify import compute_lambda_blocks
+
+    subdir = "small_ra_slam_problem"
+    problem = parse_pyfg(str(fixtures_dir / subdir / "factor_graph.pyfg"))
+    pd = problem.device_data()
+    X_gt = jnp.asarray(
+        read_matrix_market_dense(str(fixtures_dir / subdir / "X_gt.mm"))
+    )
+    Lam_rot, lam_sph = compute_lambda_blocks(pd, X_gt)
+    np.testing.assert_allclose(np.asarray(Lam_rot), 0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lam_sph), 0, atol=1e-6)
+
+
+def test_certificate_matrix_matches_fixture(fixtures_dir):
+    """S at the fixed random state matches the exported S_rand.mm."""
+    from cora_tpu.io.matrix_market import (
+        read_matrix_market,
+        read_matrix_market_dense,
+    )
+
+    subdir = "small_ra_slam_problem"
+    problem = parse_pyfg(str(fixtures_dir / subdir / "factor_graph.pyfg"))
+    pd = problem.device_data()
+    x0 = read_matrix_market_dense(str(fixtures_dir / subdir / "X_rand_dim2.mm"))
+    S = materialize_certificate(problem, pd, x0)
+    expected = read_matrix_market(str(fixtures_dir / subdir / "S_rand.mm")).toarray()
+    np.testing.assert_allclose(S, expected, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [10, 1000])
+def test_lobpcg_known_eigenpairs(n):
+    """Analytic min-eigenpair cases I − x xᵀ and I − 2 x xᵀ at sizes that
+    exercise both the dense and iterative branches
+    (reference `test_certification.cpp:45-125`)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n)
+    x /= np.linalg.norm(x)
+    for scale, expected_min in [(1.0, 0.0), (2.0, -1.0)]:
+        xj = jnp.asarray(x)
+
+        def op(V, s=scale):
+            return V - s * jnp.outer(xj, xj @ V)
+
+        X0 = jnp.asarray(rng.standard_normal((n, 6)))
+        theta, X, iters, nc = lobpcg_min(op, X0, max_iters=200, tol=1e-8, nev=1)
+        assert abs(float(theta[0]) - expected_min) < 1e-6
+        # eigenvector equality up to sign
+        v = np.asarray(X[:, 0])
+        align = abs(float(v @ x))
+        if expected_min != 0.0:
+            assert align > 1 - 1e-6
+
+
+def test_certify_rejects_saddle(fixtures_dir):
+    """The rank-2 saddle of small_ra must NOT be certified."""
+    from cora_tpu.ops.riemannian import random_initial_guess
+    from cora_tpu.precond import make_preconditioner
+    from cora_tpu.solve.tnt import tnt_solve
+
+    problem = parse_pyfg(
+        str(fixtures_dir / "small_ra_slam_problem" / "factor_graph.pyfg")
+    )
+    pd = problem.device_data()
+    Y0 = random_initial_guess(pd, 2, jax.random.PRNGKey(42))
+    prec = make_preconditioner(problem, pd, Preconditioner.JACOBI)
+    res = tnt_solve(pd, Y0, prec)
+    assert res.f > 1.0  # stuck on a saddle at rank 2
+    cert = certify_solution(problem, pd, res.x, eta=1e-5)
+    assert not cert.is_certified
+    assert cert.theta < -1e-3
