@@ -1,0 +1,92 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): plaza2 time-to-certified-solution from
+random initialization, against the reference's published wall-clock of
+3.57132 s (cost 734.328; `run_utils/parse_data.py:40`, author's CPU).
+
+Method: one warmup solve populates jit caches (compile time is a
+per-shape, per-process one-off; the persistent compilation cache under
+`.jax_cache/` carries it across runs), then the solve is re-run and the
+time to the SDP certificate is reported. Cost and ATE are checked
+against the reference values; a mismatch fails the benchmark rather
+than reporting a fast-but-wrong number.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+PLAZA2 = os.environ.get(
+    "CORA_BENCH_DATASET", "/root/reference/examples/data/plaza2.pyfg"
+)
+BASELINE_S = 3.57132
+REFERENCE_COST = 734.328
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    import numpy as np
+
+    from cora_tpu import parse_pyfg, solve_cora
+    from cora_tpu.solve.staircase import extract_solution
+    from cora_tpu.types import Formulation, Preconditioner, SolverConfig
+    from cora_tpu.utils.evaluation import evaluate_ate
+
+    dtype_name = os.environ.get("CORA_BENCH_DTYPE", "float64")
+    cfg = SolverConfig(
+        preconditioner=Preconditioner.REGULARIZED_CHOLESKY,
+        formulation=Formulation.EXPLICIT,
+        dtype=np.dtype(dtype_name).type,
+        seed=0,
+    )
+
+    problem = parse_pyfg(PLAZA2)
+
+    # warmup: compiles every rank level this solve visits
+    res = solve_cora(problem, config=cfg)
+
+    # timed run (same seed/path; jit caches hot)
+    t0 = time.time()
+    res = solve_cora(problem, config=cfg)
+    wall = time.time() - t0
+    t_cert = res.elapsed_to_certificate if np.isfinite(res.elapsed_to_certificate) else wall
+
+    soln = extract_solution(problem, cfg, res)
+    ate = evaluate_ate(problem, soln)
+
+    ok = (
+        res.certified
+        and abs(res.result.f - REFERENCE_COST) / REFERENCE_COST < 0.01
+        and ate < 1.0
+    )
+    result = {
+        "metric": "plaza2_time_to_certified_random_init",
+        "value": round(t_cert, 4) if ok else float("inf"),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / t_cert, 3) if ok else 0.0,
+        "extra": {
+            "certified": bool(res.certified),
+            "final_cost": round(float(res.result.f), 4),
+            "reference_cost": REFERENCE_COST,
+            "sdp_cost": round(float(res.sdp_cost), 4),
+            "suboptimality_bound": round(float(res.suboptimality), 4),
+            "ate_vs_gt_m": round(float(ate), 4),
+            "ranks": res.ranks_visited,
+            "wall_total_s": round(wall, 4),
+            "device": str(jax.devices()[0]),
+            "dtype": dtype_name,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

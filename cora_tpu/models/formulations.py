@@ -1,0 +1,194 @@
+"""Problem formulations: translation-explicit and translation-implicit.
+
+The implicit (marginalized) formulation (reference
+`fillImplicitFormulationMatrices` / `dataMatrixProduct`,
+`src/CORA_problem.cpp:714-757`) eliminates the translational states
+analytically: with Q partitioned as
+
+    [ Qmain  B  ]        Qmain: rotation+sphere block (dn+m)
+    [ Bᵀ     L  ]        L: translation Laplacian (n+l), last state pinned
+
+the reduced operator is  Q̃Y = Qmain·Y − B·L⁻¹·Bᵀ·Y  on states of height
+dn+m, and translations are recovered as t = −L⁻¹·Bᵀ·Y
+(`getTranslationExplicitSolution`, `CORA_problem.cpp:1168-1197`).
+
+TPU-native realization: both Qmain·Y + Bᵀ·Y and B·v fall out of the
+*factored explicit operator* applied to zero-padded states (no separate
+sparse matrices), and L⁻¹ is the same banded-Cholesky + Woodbury
+machinery as the preconditioner (`cora_tpu.precond.banded`), applied on
+device via associative scans. The reference's per-product CHOLMOD
+triangular solve becomes a log-depth batched recurrence.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from cora_tpu.graph.data import ProblemData
+
+
+def _lred_factor(problem, pd: ProblemData):
+    """Factor the reduced translation Laplacian L (last state pinned).
+
+    L's band is the pose-translation chain; landmark columns are Woodbury
+    spikes. Returns a host factor and a device apply (v ↦ L⁻¹v) on
+    (n+l−1)-row blocks.
+    """
+    from cora_tpu.precond import banded as bd
+
+    n_tr = pd.num_translations
+    Q = problem.data_matrix()
+    off = pd.rot_range_size
+    L = Q[off:, off:].tocsr()[: n_tr - 1, : n_tr - 1].tocsr()
+
+    n_band = min(pd.n, n_tr - 1)  # pose translations in the band
+    l_sp = (n_tr - 1) - n_band  # remaining landmarks as spikes
+
+    # reuse the generic block machinery with q=1 blocks
+    B_band = L[:n_band, :n_band]
+    C = L[:n_band, n_band:].toarray() if l_sp else np.zeros((n_band, 0))
+    E = L[n_band:, n_band:].toarray() if l_sp else np.zeros((0, 0))
+
+    Adiag, Asub, n_dropped = bd._extract_blocks(B_band.tocsr(), n_band, 1)
+    Lc, Mc = bd._block_tridiag_cholesky(Adiag, Asub)
+    BinvC = (
+        bd._solve_block_bidiag(Lc, Mc, C.reshape(n_band, 1, l_sp)).reshape(n_band, l_sp)
+        if l_sp
+        else np.zeros((n_band, 0))
+    )
+    if l_sp:
+        cap = E - C.T @ BinvC
+        cap_chol = np.linalg.cholesky(0.5 * (cap + cap.T))
+        cap_inv = np.linalg.inv(cap_chol.T) @ np.linalg.inv(cap_chol)
+    else:
+        cap_inv = np.zeros((0, 0))
+
+    F = bd.BandedFactorHost(
+        q=1, n_blocks=n_band,
+        perm=np.arange(n_tr - 1), inv_perm=np.arange(n_tr - 1),
+        L=Lc, M=Mc, Linv=np.linalg.inv(Lc) if n_band else Lc,
+        s_sph=np.zeros(0), BinvC=BinvC, cap_inv=cap_inv, C=C, E=E,
+        n_dropped=n_dropped, lam=0.0,
+    )
+    return F
+
+
+def _make_lred_apply(F, dtype):
+    """Device solve v ↦ L⁻¹ v for the reduced translation Laplacian."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, q = F.n_blocks, F.q
+    Linv = jnp.asarray(F.Linv, dtype)
+    LinvT = jnp.asarray(np.swapaxes(F.Linv, 1, 2), dtype)
+    A_fwd = jnp.asarray(-np.einsum("nab,nbc->nac", F.Linv, F.M), dtype)
+    Mshift = np.zeros_like(F.M)
+    if n > 1:
+        Mshift[:-1] = np.swapaxes(F.M[1:], 1, 2)
+    A_bwd = jnp.asarray(
+        -np.einsum("nab,nbc->nac", np.swapaxes(F.Linv, 1, 2), Mshift), dtype
+    )
+    BinvC = jnp.asarray(F.BinvC, dtype)
+    cap_inv = jnp.asarray(F.cap_inv, dtype)
+    C = jnp.asarray(F.C, dtype)
+    l_sp = F.C.shape[1]
+
+    def _affine_scan(A, c, reverse=False):
+        def combine(x, y):
+            A1, b1 = x
+            A2, b2 = y
+            return A2 @ A1, jnp.einsum("nab,nbr->nar", A2, b1) + b2
+
+        _, bs = lax.associative_scan(combine, (A, c), axis=0, reverse=reverse)
+        return bs
+
+    def solve_band(b):
+        if n == 0:
+            return b
+        r = b.shape[1]
+        bb = b.reshape(n, q, r)
+        u = _affine_scan(A_fwd, jnp.einsum("nab,nbr->nar", Linv, bb))
+        x = _affine_scan(A_bwd, jnp.einsum("nab,nbr->nar", LinvT, u), reverse=True)
+        return x.reshape(n * q, r)
+
+    def apply(v):  # v: (n_tr - 1, r)
+        rhs_b, rhs_lm = v[: n * q], v[n * q:]
+        y1 = solve_band(rhs_b)
+        if l_sp:
+            y2 = cap_inv @ (rhs_lm - C.T @ y1)
+            x_b = y1 - BinvC @ y2
+            return jnp.concatenate([x_b, y2], axis=0)
+        return jnp.concatenate([y1, rhs_lm], axis=0)
+
+    return apply
+
+
+class ImplicitOperators:
+    """Marginalized quadratic-form operator and translation recovery."""
+
+    def __init__(self, problem, pd: ProblemData, dtype=None):
+        self.pd = pd
+        dtype = dtype or pd.dtype()
+        self._lred_solve = _make_lred_apply(_lred_factor(problem, pd), dtype)
+        self._dtype = dtype
+
+    def _bt_y(self, Y):
+        """[Qmain·Y ; Bᵀ·Y] via the explicit factored operator on [Y; 0]."""
+        from cora_tpu.ops.quadratic import data_matrix_product
+
+        pd = self.pd
+        pad = jnp.zeros((pd.num_translations, Y.shape[1]), Y.dtype)
+        full = data_matrix_product(pd, jnp.concatenate([Y, pad], axis=0))
+        return full[: pd.rot_range_size], full[pd.rot_range_size:]
+
+    def _b_v(self, v_red):
+        """B·v via the explicit operator on [0; v] (v lifted, pinned row 0)."""
+        from cora_tpu.ops.quadratic import data_matrix_product
+
+        pd = self.pd
+        v_full = jnp.concatenate(
+            [v_red, jnp.zeros((1, v_red.shape[1]), v_red.dtype)], axis=0
+        )
+        zero_top = jnp.zeros((pd.rot_range_size, v_red.shape[1]), v_red.dtype)
+        full = data_matrix_product(pd, jnp.concatenate([zero_top, v_full], axis=0))
+        return full[: pd.rot_range_size]
+
+    def product(self, Y):
+        """Q̃·Y = Qmain·Y − B·L⁻¹·Bᵀ·Y (reference `dataMatrixProduct`)."""
+        top, bt = self._bt_y(Y)
+        v = self._lred_solve(bt[:-1])
+        return top - self._b_v(v)
+
+    def translation_explicit_solution(self, Y):
+        """Recover the full explicit state [Y; t] with t = −L⁻¹BᵀY and the
+        pinned translation at zero (reference `CORA_problem.cpp:1168-1197`)."""
+        _, bt = self._bt_y(Y)
+        t = -self._lred_solve(bt[:-1])
+        zero = jnp.zeros((1, Y.shape[1]), Y.dtype)
+        return jnp.concatenate([Y, t, zero], axis=0)
+
+
+def make_operator(problem, pd: ProblemData, formulation, dtype=None) -> Callable:
+    """The quadratic-form operator for the requested formulation."""
+    from cora_tpu.types import Formulation
+
+    if formulation == Formulation.EXPLICIT:
+        from cora_tpu.ops.quadratic import data_matrix_product
+
+        def op(Y):
+            return data_matrix_product(pd, Y)
+
+        op.implicit = None
+        return op
+
+    impl = ImplicitOperators(problem, pd, dtype)
+
+    def op(Y):
+        return impl.product(Y)
+
+    op.implicit = impl
+    return op

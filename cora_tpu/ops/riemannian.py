@@ -36,20 +36,24 @@ def tangent_space_projection(pd: ProblemData, Y: jax.Array, V: jax.Array) -> jax
     return join_state(pd, Prot, Psph, Vtr)
 
 
-def riemannian_gradient(pd: ProblemData, Y: jax.Array, nablaF=None) -> jax.Array:
+def riemannian_gradient(pd: ProblemData, Y: jax.Array, nablaF=None, op=None) -> jax.Array:
     if nablaF is None:
-        nablaF = data_matrix_product(pd, Y)
+        nablaF = op(Y) if op is not None else data_matrix_product(pd, Y)
     return tangent_space_projection(pd, Y, nablaF)
 
 
 def riemannian_hvp(
-    pd: ProblemData, Y: jax.Array, nablaF: jax.Array, dotY: jax.Array
+    pd: ProblemData, Y: jax.Array, nablaF: jax.Array, dotY: jax.Array, op=None
 ) -> jax.Array:
     """Riemannian Hessian-vector product (reference `CORA_problem.cpp:822-867`).
 
     Hess f(Y)[Ẏ] = Proj_{T_Y}( Q Ẏ − blockwise Weingarten corrections )
+
+    `op` selects the quadratic-form operator (explicit Q by default; the
+    marginalized operator in implicit mode). All blockwise manifold terms
+    are layout-driven and work on either state height.
     """
-    H = data_matrix_product(pd, dotY)
+    H = op(dotY) if op is not None else data_matrix_product(pd, dotY)
     Yrot, Ysph, Ytr = split_state(pd, Y)
     Grot, Gsph, _ = split_state(pd, nablaF)
     Hrot, Hsph, Htr = split_state(pd, H)
@@ -78,13 +82,14 @@ def retract(pd: ProblemData, Y: jax.Array, V: jax.Array) -> jax.Array:
     return project_to_manifold(pd, Y + V)
 
 
-def random_initial_guess(pd: ProblemData, rank: int, key) -> jax.Array:
+def random_initial_guess(pd: ProblemData, rank: int, key, height=None) -> jax.Array:
     """Random point on the manifold (reference `CORA_problem.cpp:1023-1028`).
 
     Matches the reference's `Matrix::Random` (uniform in [-1,1]) followed by
-    manifold projection; translations stay uniform.
+    manifold projection; translations stay uniform. `height` overrides the
+    state height (rot_range_size for the implicit formulation).
     """
     A = jax.random.uniform(
-        key, (pd.size, rank), dtype=pd.dtype(), minval=-1.0, maxval=1.0
+        key, (height or pd.size, rank), dtype=pd.dtype(), minval=-1.0, maxval=1.0
     )
     return project_to_manifold(pd, A)

@@ -94,6 +94,7 @@ def certify_solution(
     max_lobpcg_iters: int = 500,
     tol: float = 1e-3,
     seed: int = 0,
+    rank_deficient_exit: bool = False,
 ) -> CertResults:
     """Certify Y as a global optimum (reference `certify_solution`)."""
     Y = jnp.asarray(Y)
@@ -101,15 +102,19 @@ def certify_solution(
     r = Y.shape[1]
 
     # --- rank-deficiency early exit (`CORA_problem.cpp:1036-1049`) ---
-    # Unlike the reference, this is gated on Y actually being (near) a
-    # critical point: at a non-critical rank-deficient Y the certificate
-    # math is meaningless and certifying it would end the staircase on a
-    # garbage iterate.
-    from cora_tpu.ops.riemannian import riemannian_gradient
+    # The reference certifies any Y with singular-value ratio > 1e6
+    # outright. That is unsound when a saddle escape failed and left a
+    # rank-deficient *saddle* (first-order critical but with negative
+    # curvature), so this exit is off by default — the banded-Cholesky
+    # PSD test below is cheap enough to always run and decides correctly.
+    if rank_deficient_exit:
+        from cora_tpu.ops.riemannian import riemannian_gradient
 
-    grad_norm = float(jnp.linalg.norm(riemannian_gradient(pd, Y)))
-    sv = np.linalg.svd(np.asarray(Y), compute_uv=False)
-    critical = grad_norm <= 1e-3 * max(1.0, float(sv[0]))
+        grad_norm = float(jnp.linalg.norm(riemannian_gradient(pd, Y)))
+        sv = np.linalg.svd(np.asarray(Y), compute_uv=False)
+        critical = grad_norm <= 1e-3 * max(1.0, float(sv[0]))
+    else:
+        critical, sv = False, np.ones(2)
     if critical and (sv[-1] == 0 or sv[0] / sv[-1] > 1e6):
         return CertResults(
             is_certified=True,
@@ -134,9 +139,31 @@ def certify_solution(
             num_iters=0,
         )
 
-    # --- large problems: LOBPCG cascade on M = S + ηI ---
-    S_op, _ = make_certificate_operator(pd, Y)
+    # --- PSD fast path: banded Cholesky of S + ηI (the decision procedure,
+    # mirroring the reference's CHOLMOD attempt at `CORA_utils.cpp:31-51`;
+    # here it is the sphere-elimination → block-tridiagonal → Woodbury
+    # factorization, which is exact on odometry-chain graphs) ---
+    S_op, lam_blocks = make_certificate_operator(pd, Y)
     eta = float(eta)
+
+    psd_known = False
+    if pd.n:
+        try:
+            from cora_tpu.precond.banded import factor_banded
+
+            S_sparse = _certificate_sparse(problem, pd, lam_blocks)
+            factor_banded(problem, pd, S_sparse, eta, require_exact=True)
+            return CertResults(
+                is_certified=True,
+                theta=0.0,
+                x=np.zeros(N),
+                all_eigvecs=np.zeros((N, num_eigvecs)),
+                num_iters=0,
+            )
+        except np.linalg.LinAlgError:
+            psd_known = True  # definitively NOT PSD; LOBPCG finds the eigvec
+        except ValueError:
+            pass  # band inexact: fall through to the eigensolver decision
 
     def M_op(V):
         return S_op(V) + eta * V
@@ -189,10 +216,45 @@ def certify_solution(
         theta = float(x @ S_op(x[:, None])[:, 0])
         iters += int(k2)
 
+    if psd_known:
+        certified = False
+    else:
+        # no exact factorization available: certify only on a *converged*
+        # non-negative verdict (a barely-negative unconverged Ritz value
+        # must not certify)
+        R = M_op(X_blk[:, :1]) - (theta + eta) * X_blk[:, :1]
+        converged = float(jnp.linalg.norm(R)) <= tol * max(abs(theta), 1.0)
+        certified = bool(theta >= -eta and converged)
+
     return CertResults(
-        is_certified=bool(theta >= -eta),
+        is_certified=certified,
         theta=theta,
         x=np.asarray(x),
         all_eigvecs=np.asarray(X_blk),
         num_iters=iters,
     )
+
+
+def _certificate_sparse(problem, pd: ProblemData, lam_blocks):
+    """Host sparse S = Q − Λ from the precomputed Λ blocks."""
+    import scipy.sparse as sp
+
+    Lam_rot, lam_sph = lam_blocks
+    Lam_rot = np.asarray(Lam_rot)
+    lam_sph = np.asarray(lam_sph)
+    d, n, m = pd.d, pd.n, pd.m
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for a in range(d):
+            for b in range(d):
+                rows.append(i * d + a)
+                cols.append(i * d + b)
+                vals.append(Lam_rot[i, a, b])
+    off = pd.rot_size
+    for e in range(m):
+        rows.append(off + e)
+        cols.append(off + e)
+        vals.append(lam_sph[e])
+    N = pd.size
+    Lam = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+    return (problem.data_matrix() - Lam).tocsr()

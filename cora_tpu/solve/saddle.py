@@ -36,34 +36,50 @@ def saddle_escape(
     preconditioned_gradient_tolerance: float = 1e-4,
     alpha_min: float = 1e-6,
     verbose: bool = False,
+    op=None,
 ):
     """Escape the rank-r saddle Y into rank r+1. Returns the new iterate
     (shape (N, r+1))."""
+
+    def fval(Z):
+        if op is None:
+            return float(evaluate_objective(pd, Z))
+        return 0.5 * float(jnp.vdot(Z, op(Z)))
+
     N, r = Y.shape
     Y_aug = jnp.concatenate([Y, jnp.zeros((N, 1), Y.dtype)], axis=1)
-    f_saddle = float(evaluate_objective(pd, Y_aug))
+    f_saddle = fval(Y_aug)
 
     v = jnp.asarray(v, dtype=Y.dtype).reshape(N)
     Ydot = jnp.zeros_like(Y_aug).at[:, -1].set(v)
 
-    alpha = max(16 * alpha_min, 100 * gradient_tolerance / abs(theta))
+    # The reference starts at max(16·α_min, 100·tol/|θ|) (`CORA.cpp:286-288`)
+    # which collapses to ~1e-5 for strongly-negative θ — there the quadratic
+    # decrease ≈ ½|θ|α² drowns in float rounding of f and the search can
+    # fail at a genuine saddle. Starting no lower than 1 and backtracking
+    # subsumes the reference's range.
+    alpha = max(16 * alpha_min, 100 * gradient_tolerance / abs(theta), 1.0)
 
-    trials = []  # (alpha, f) for the fallback
+    trials = []  # (signed alpha, f) for the fallback
+    # v's sign is arbitrary (eigenvector); for a true negative-curvature
+    # direction both signs descend to second order, but after an inexact
+    # eigensolve one sign can be much better — try both.
     while alpha >= alpha_min:
-        Y_test = retract(pd, Y_aug, alpha * Ydot)
-        f_test = float(evaluate_objective(pd, Y_test))
-        grad = riemannian_gradient(pd, Y_test)
-        grad_norm = float(jnp.linalg.norm(grad))
-        pgrad = tangent_space_projection(pd, Y_test, precon(grad))
-        pgrad_norm = float(jnp.linalg.norm(pgrad))
-        trials.append((alpha, f_test))
+        for sign in (1.0, -1.0):
+            Y_test = retract(pd, Y_aug, sign * alpha * Ydot)
+            f_test = fval(Y_test)
+            grad = riemannian_gradient(pd, Y_test, op=op)
+            grad_norm = float(jnp.linalg.norm(grad))
+            pgrad = tangent_space_projection(pd, Y_test, precon(grad))
+            pgrad_norm = float(jnp.linalg.norm(pgrad))
+            trials.append((sign * alpha, f_test))
 
-        if (
-            f_test < f_saddle
-            and grad_norm > gradient_tolerance
-            and pgrad_norm > preconditioned_gradient_tolerance
-        ):
-            return Y_test
+            if (
+                f_test < f_saddle
+                and grad_norm > gradient_tolerance
+                and pgrad_norm > preconditioned_gradient_tolerance
+            ):
+                return Y_test
         alpha /= 2
 
     # fallback: the trial point with the best strict decrease

@@ -10,7 +10,11 @@ Parity with `solveCORA` (reference `src/CORA.cpp:26-243`):
   * NaN-θ retry with doubled η (`CORA_problem.cpp:1076-1083`);
   * saddle escape with rank increment on certification failure;
   * post-loop rank-d SVD rounding + TNT refine + re-certification
-    (`CORA.cpp:200-233`).
+    (`CORA.cpp:200-233`);
+  * translation-implicit mode: the TNT state is [rotations | spheres]
+    only, the operator is the marginalized Q̃ and certification happens
+    on the recovered translation-explicit solution
+    (`CORA.cpp:30-40,161-164`, `CORA_problem.cpp:1085-1100`).
 
 Host Python orchestrates the (at most ~7) rank levels; each level's
 entire solve runs as one compiled device program. Rank is a static shape,
@@ -25,15 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cora_tpu.graph.data import ProblemData
 from cora_tpu.graph.problem import Problem
+from cora_tpu.models.formulations import make_operator
 from cora_tpu.precond import make_preconditioner
 from cora_tpu.ops.riemannian import project_to_manifold, random_initial_guess
 from cora_tpu.solve.certify import certify_solution
 from cora_tpu.solve.rounding import align_estimate_to_origin, project_solution
 from cora_tpu.solve.saddle import saddle_escape
 from cora_tpu.solve.tnt import tnt_solve
-from cora_tpu.types import CoraResult, SolverConfig
+from cora_tpu.types import CoraResult, Formulation, SolverConfig
 
 SADDLE_GRAD_TOL = 1e-4  # reference `CORA.cpp:191-192`
 PRECON_SADDLE_GRAD_TOL = 1e-4
@@ -56,24 +60,53 @@ def solve_cora(
         max_rank = config.max_rank
     if verbose is None:
         verbose = config.verbose
+    implicit = config.formulation == Formulation.IMPLICIT
 
     def vprint(msg):
         if verbose:
             print(msg)
 
+    t_start = time.time()
     pd = problem.device_data(dtype=config.dtype)
-    precon = make_preconditioner(
+    op = make_operator(problem, pd, config.formulation, dtype=config.dtype)
+    precon_full = make_preconditioner(
         problem, pd, config.preconditioner,
         reg_chol_max_cond=config.reg_chol_max_cond,
     )
+    if implicit:
+        # lift → full preconditioner → truncate (reference
+        # `CORA_problem.cpp:869-903`)
+        def precon(V):
+            pad = jnp.zeros((pd.num_translations, V.shape[1]), V.dtype)
+            return precon_full(jnp.concatenate([V, pad], axis=0))[
+                : pd.rot_range_size
+            ]
+    else:
+        precon = precon_full
     cert_p = config.cert
 
+    state_height = pd.rot_range_size if implicit else pd.size
     rank = problem.dim + config.init_rank_jump
     if x0 is None:
-        X = random_initial_guess(pd, rank, jax.random.PRNGKey(config.seed))
+        X = random_initial_guess(
+            pd, rank, jax.random.PRNGKey(config.seed), height=state_height
+        )
     else:
-        X = project_to_manifold(pd, jnp.asarray(x0, dtype=config.dtype))
+        X = jnp.asarray(np.asarray(x0), dtype=config.dtype)
+        if X.shape[0] != state_height:
+            if implicit and X.shape[0] == pd.size:
+                X = X[:state_height]
+            else:
+                raise ValueError(
+                    f"x0 has {X.shape[0]} rows, expected {state_height}"
+                )
+        X = project_to_manifold(pd, X)
         rank = X.shape[1]
+
+    def to_explicit(Y):
+        if implicit:
+            return op.implicit.translation_explicit_solution(Y)
+        return Y
 
     ranks_visited = []
     cert = None
@@ -81,11 +114,13 @@ def solve_cora(
     eta = cert_p.min_eta
     first_loop = True
     result = None
+    sdp_cost = float("nan")
+    t_certificate = float("nan")
 
     while rank <= max_rank:
         ranks_visited.append(rank)
         vprint(f"\nSolving problem at rank {rank}")
-        result = tnt_solve(pd, X, precon, config.tnt)
+        result = tnt_solve(pd, X, precon, config.tnt, op=op)
         vprint(
             f"Obtained solution with objective {result.f:.6f} "
             f"(|grad| {result.gradfx_norm:.2e}, {result.num_iterations} its, "
@@ -93,14 +128,15 @@ def solve_cora(
         )
 
         eta = _clamp(result.f * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
+        Y_explicit = to_explicit(result.x)
         if first_loop:
-            eigvec_bootstrap = np.asarray(result.x)
+            eigvec_bootstrap = np.asarray(Y_explicit)
             first_loop = False
         else:
             eigvec_bootstrap = cert.all_eigvecs
 
         cert = _certify_with_retry(
-            problem, pd, result.x, eta, cert_p, eigvec_bootstrap
+            problem, pd, Y_explicit, eta, cert_p, eigvec_bootstrap
         )
         vprint(
             f"Certified: {cert.is_certified} (eta={eta:.2e}, "
@@ -112,40 +148,66 @@ def solve_cora(
 
         if cert.is_certified:
             X = result.x
+            sdp_cost = result.f
+            t_certificate = time.time() - t_start
             break
 
         rank += 1
         if rank > max_rank:
             X = result.x
             break
+        # negative-curvature direction in the solver's state space
+        v = cert.x[: state_height]
+        v = v / max(np.linalg.norm(v), 1e-300)
         X = saddle_escape(
-            pd, result.x, cert.theta, cert.x, precon,
-            SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose,
+            pd, result.x, cert.theta, v, precon,
+            SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose, op=op,
         )
 
+    sdp_certified = bool(cert.is_certified)
+
     # ---- rank-d rounding + refinement (`CORA.cpp:200-233`) ----
+    final_cert = cert
     if X.shape[1] > problem.dim:
         vprint(f"\nProjecting solution to rank {problem.dim} and refining")
         X = project_solution(pd, X, verbose=verbose)
-        result = tnt_solve(pd, X, precon, config.tnt)
+        result = tnt_solve(pd, X, precon, config.tnt, op=op)
         vprint(f"FINAL objective {result.f:.6f}")
         eta = _clamp(result.f * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
-        cert = _certify_with_retry(
-            problem, pd, result.x, eta, cert_p, eigvec_bootstrap
+        final_cert = _certify_with_retry(
+            problem, pd, to_explicit(result.x), eta, cert_p, eigvec_bootstrap
         )
         X = result.x
 
+    suboptimality = (
+        result.f - sdp_cost if np.isfinite(sdp_cost) else float("nan")
+    )
     vprint(
-        f"\nFinal solution certified: {cert.is_certified} "
-        f"(eta={eta:.2e}, theta={cert.theta:.3e})"
+        f"\nSDP certified: {sdp_certified} | final rank-d estimate "
+        f"certified: {final_cert.is_certified} | suboptimality bound: "
+        f"{suboptimality:.6f}"
     )
     return CoraResult(
         result=result,
-        certified=bool(cert.is_certified),
-        theta=float(cert.theta),
+        certified=sdp_certified,
+        theta=float(final_cert.theta),
         eta=float(eta),
         ranks_visited=ranks_visited,
+        sdp_cost=float(sdp_cost),
+        suboptimality=float(suboptimality),
+        final_certified=bool(final_cert.is_certified),
+        elapsed_to_certificate=float(t_certificate),
     )
+
+
+def extract_solution(problem: Problem, config: SolverConfig, res: CoraResult):
+    """Translation-explicit, gauge-aligned final estimate."""
+    pd = problem.device_data(dtype=config.dtype)
+    Y = jnp.asarray(res.result.x)
+    if config.formulation == Formulation.IMPLICIT:
+        op = make_operator(problem, pd, config.formulation, dtype=config.dtype)
+        Y = op.implicit.translation_explicit_solution(Y)
+    return np.asarray(align_estimate_to_origin(pd, Y))
 
 
 def _certify_with_retry(problem, pd, Y, eta, cert_p, bootstrap):

@@ -171,12 +171,12 @@ class _StaticArgs:
     params: tuple  # numeric params as a hashable tuple
 
 
-def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int):
+def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None):
     """The jit-compiled TNT loop. Returns final state + histories."""
     dtype = Y0.dtype
 
     def f_and_grad(Y):
-        nablaF = data_matrix_product(pd, Y)
+        nablaF = op(Y) if op is not None else data_matrix_product(pd, Y)
         f = 0.5 * _inner(Y, nablaF)
         grad = tangent_space_projection(pd, Y, nablaF)
         return f, grad, nablaF
@@ -202,7 +202,7 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int):
         Delta, k = c["Delta"], c["k"]
 
         def hess(v):
-            return riemannian_hvp(pd, Y, nablaF, v)
+            return riemannian_hvp(pd, Y, nablaF, v, op=op)
 
         def prec(v):
             return precon_tangent(Y, v)
@@ -317,7 +317,9 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int):
     return out
 
 
-_tnt_jit = jax.jit(_tnt_while, static_argnames=("precon", "params", "history_len"))
+_tnt_jit = jax.jit(
+    _tnt_while, static_argnames=("precon", "params", "history_len", "op")
+)
 
 
 def tnt_solve(
@@ -325,6 +327,7 @@ def tnt_solve(
     Y0: jax.Array,
     precon: Callable,
     params: TNTParams | None = None,
+    op: Callable | None = None,
 ) -> TNTResult:
     """Run TNT to convergence. `precon` maps ambient V → P·V (the tangent
     projection wrapper is applied internally, reference `CORA.cpp:87-92`)."""
@@ -332,7 +335,9 @@ def tnt_solve(
     t0 = time.time()
     # hashable param container so jit caches per parameter set
     params_frozen = dataclasses.replace(params)
-    out = _tnt_jit(pd, Y0, precon, HashableParams(params_frozen), params.max_iterations)
+    out = _tnt_jit(
+        pd, Y0, precon, HashableParams(params_frozen), params.max_iterations, op
+    )
     out = jax.device_get(out)
     elapsed = time.time() - t0
 

@@ -124,11 +124,24 @@ class TNTResult:
 
 @dataclasses.dataclass
 class CoraResult:
-    """Full staircase solve result."""
+    """Full staircase solve result.
+
+    `certified` refers to the SDP relaxation: the staircase found a
+    rank-r critical point whose dual certificate S = Q − Λ is PSD, i.e.
+    the *global optimum of the SDP*. The returned estimate is that
+    solution rounded to rank d and refined; when the SDP optimum has
+    rank > d the rounded estimate is not itself a global optimum but
+    carries the explicit suboptimality bound
+    ``suboptimality = f(estimate) − f(SDP)`` (CORA's "certifiably
+    correct" semantics)."""
 
     result: TNTResult
     certified: bool
     theta: float
     eta: float
     ranks_visited: list
+    sdp_cost: float = float("nan")  # objective of the certified SDP solution
+    suboptimality: float = float("nan")  # f(final) − f(SDP), ≥ 0
+    final_certified: bool = False  # rank-d estimate itself certified
+    elapsed_to_certificate: float = float("nan")  # seconds to SDP certificate
     iterates: list | None = None
