@@ -249,8 +249,41 @@ class Problem:
             cache[key] = data.build_problem_data(self, dtype=dtype)
         return cache[key]
 
+    def operator(self, formulation, dtype=np.float64):
+        """Cached quadratic-form operator closure. Caching matters: jit
+        specializes on closure identity, so a fresh closure per solve
+        would recompile every (identical) program."""
+        from cora_tpu.models import formulations
+
+        key = (formulation, np.dtype(dtype).name)
+        cache = getattr(self, "_op_cache", None)
+        if cache is None:
+            cache = self._op_cache = {}
+        if key not in cache:
+            cache[key] = formulations.make_operator(
+                self, self.device_data(dtype), formulation, dtype=dtype
+            )
+        return cache[key]
+
+    def preconditioner_fn(self, kind, dtype=np.float64, max_cond: float = 1e6):
+        """Cached preconditioner apply-closure (same jit-identity reason)."""
+        from cora_tpu import precond
+
+        key = (kind, np.dtype(dtype).name, max_cond)
+        cache = getattr(self, "_precon_cache", None)
+        if cache is None:
+            cache = self._precon_cache = {}
+        if key not in cache:
+            cache[key] = precond.make_preconditioner(
+                self, self.device_data(dtype), kind,
+                dtype=dtype, reg_chol_max_cond=max_cond,
+            )
+        return cache[key]
+
     def invalidate(self) -> None:
         """Drop cached derived products after mutating the graph."""
         self._submatrices = None
         self._data_matrix = None
         self._device_data = None
+        self._op_cache = None
+        self._precon_cache = None

@@ -35,8 +35,10 @@ def _lred_factor(problem, pd: ProblemData):
     """Factor the reduced translation Laplacian L (last state pinned).
 
     L's band is the pose-translation chain; landmark columns are Woodbury
-    spikes. Returns a host factor and a device apply (v ↦ L⁻¹v) on
-    (n+l−1)-row blocks.
+    spikes. Returns a host factor for the device apply (v ↦ L⁻¹v) on
+    (n+l−1)-row blocks. This is a *direct solver* (the implicit
+    formulation needs exactness), so graphs whose translation Laplacian
+    is not banded+spikes under the natural ordering are rejected.
     """
     from cora_tpu.precond import banded as bd
 
@@ -48,17 +50,23 @@ def _lred_factor(problem, pd: ProblemData):
     n_band = min(pd.n, n_tr - 1)  # pose translations in the band
     l_sp = (n_tr - 1) - n_band  # remaining landmarks as spikes
 
-    # reuse the generic block machinery with q=1 blocks
-    B_band = L[:n_band, :n_band]
+    B_band = L[:n_band, :n_band].tocsr()
     C = L[:n_band, n_band:].toarray() if l_sp else np.zeros((n_band, 0))
     E = L[n_band:, n_band:].toarray() if l_sp else np.zeros((0, 0))
 
-    Adiag, Asub, n_dropped = bd._extract_blocks(B_band.tocsr(), n_band, 1)
-    Lc, Mc = bd._block_tridiag_cholesky(Adiag, Asub)
-    BinvC = (
-        bd._solve_block_bidiag(Lc, Mc, C.reshape(n_band, 1, l_sp)).reshape(n_band, l_sp)
-        if l_sp
-        else np.zeros((n_band, 0))
+    # actual bandwidth of the translation chain (1 for pure odometry;
+    # pose-pose range edges can widen it)
+    coo = sp.tril(B_band).tocoo()
+    bw = int((coo.row - coo.col).max()) if coo.nnz else 0
+    if bw > 32:
+        raise NotImplementedError(
+            "translation Laplacian is not banded under the odometry "
+            f"ordering (bandwidth {bw}); the implicit formulation "
+            "currently requires chain+landmark structure"
+        )
+    w = max(2 * (bw + 1), 2)
+    Lc, Mc, Linv, BinvC, n_dropped = bd.banded_spd_factor(
+        B_band, C, bw, w, require_exact=True
     )
     if l_sp:
         cap = E - C.T @ BinvC
@@ -67,14 +75,13 @@ def _lred_factor(problem, pd: ProblemData):
     else:
         cap_inv = np.zeros((0, 0))
 
-    F = bd.BandedFactorHost(
-        q=1, n_blocks=n_band,
+    return bd.BandedFactorHost(
+        q=w, n_blocks=Lc.shape[0], band_len=n_band,
         perm=np.arange(n_tr - 1), inv_perm=np.arange(n_tr - 1),
-        L=Lc, M=Mc, Linv=np.linalg.inv(Lc) if n_band else Lc,
-        s_sph=np.zeros(0), BinvC=BinvC, cap_inv=cap_inv, C=C, E=E,
+        L=Lc, M=Mc, Linv=Linv, s_sph=np.zeros(0),
+        BinvC=BinvC, cap_inv=cap_inv, C=C, E=E,
         n_dropped=n_dropped, lam=0.0,
     )
-    return F
 
 
 def _make_lred_apply(F, dtype):
@@ -83,6 +90,7 @@ def _make_lred_apply(F, dtype):
     from jax import lax
 
     n, q = F.n_blocks, F.q
+    nb_len = F.band_len
     Linv = jnp.asarray(F.Linv, dtype)
     LinvT = jnp.asarray(np.swapaxes(F.Linv, 1, 2), dtype)
     A_fwd = jnp.asarray(-np.einsum("nab,nbc->nac", F.Linv, F.M), dtype)
@@ -110,13 +118,14 @@ def _make_lred_apply(F, dtype):
         if n == 0:
             return b
         r = b.shape[1]
-        bb = b.reshape(n, q, r)
+        pad = jnp.zeros((n * q - nb_len, r), b.dtype)
+        bb = jnp.concatenate([b, pad], axis=0).reshape(n, q, r)
         u = _affine_scan(A_fwd, jnp.einsum("nab,nbr->nar", Linv, bb))
         x = _affine_scan(A_bwd, jnp.einsum("nab,nbr->nar", LinvT, u), reverse=True)
-        return x.reshape(n * q, r)
+        return x.reshape(n * q, r)[:nb_len]
 
     def apply(v):  # v: (n_tr - 1, r)
-        rhs_b, rhs_lm = v[: n * q], v[n * q:]
+        rhs_b, rhs_lm = v[:nb_len], v[nb_len:]
         y1 = solve_band(rhs_b)
         if l_sp:
             y2 = cap_inv @ (rhs_lm - C.T @ y1)

@@ -49,8 +49,9 @@ from cora_tpu.graph.data import ProblemData
 class BandedFactorHost:
     """Host-side factorization products (numpy)."""
 
-    q: int  # block size (d+1)
-    n_blocks: int  # number of pose blocks
+    q: int  # scan block size (2(d+1) after LAPACK banded factorization)
+    n_blocks: int  # number of scan blocks (ceil(band_len / q))
+    band_len: int  # true band length n·(d+1) before block padding
     perm: np.ndarray  # (N,) permuted index -> original index
     inv_perm: np.ndarray  # (N,) original index -> permuted index
     L: np.ndarray  # (n, q, q) diagonal Cholesky blocks (lower)
@@ -79,9 +80,11 @@ def build_permutation(pd: ProblemData):
     lm0 = tr0 + n
 
     perm = np.empty(n * q + l, dtype=np.int64)
-    for i in range(n):
-        perm[i * q: i * q + d] = np.arange(rot0 + i * d, rot0 + (i + 1) * d)
-        perm[i * q + d] = tr0 + i
+    if n:
+        blocks = perm[: n * q].reshape(n, q)
+        idx = np.arange(n)
+        blocks[:, :d] = rot0 + idx[:, None] * d + np.arange(d)[None, :]
+        blocks[:, d] = tr0 + idx
     perm[n * q:] = np.arange(lm0, lm0 + l)
 
     inv_perm = np.empty(pd.size, dtype=np.int64)
@@ -90,66 +93,85 @@ def build_permutation(pd: ProblemData):
     return perm, inv_perm
 
 
-def _extract_blocks(B: sp.csr_matrix, n: int, q: int):
-    """Split a (permuted) banded matrix into (n,q,q) diagonal and
-    (n,q,q) subdiagonal blocks; returns (diag, sub, n_dropped, dropped_mass)."""
-    Bc = B.tocoo()
-    bi = Bc.row // q
-    bj = Bc.col // q
-    Adiag = np.zeros((n, q, q))
-    Asub = np.zeros((n, q, q))  # Asub[i] = block (i, i-1), Asub[0] unused
-    n_dropped = 0
+def _to_banded_lower(B: sp.spmatrix, bw: int):
+    """Lower-banded LAPACK storage ab[k, c] = B[c+k, c], 0 ≤ k ≤ bw.
 
-    on_diag = bi == bj
-    Adiag_idx = (bi[on_diag], Bc.row[on_diag] % q, Bc.col[on_diag] % q)
-    np.add.at(Adiag, Adiag_idx, Bc.data[on_diag])
+    Out-of-band entries are folded onto both diagonal entries (|a_ij| added,
+    keeping the matrix SPD — ILU-style) and counted.
+    """
+    N = B.shape[0]
+    Bc = sp.tril(B).tocoo()
+    k = Bc.row - Bc.col
+    ab = np.zeros((bw + 1, N))
+    in_band = k <= bw
+    np.add.at(ab, (k[in_band], Bc.col[in_band]), Bc.data[in_band])
+    n_dropped = int((~in_band).sum())
+    if n_dropped:
+        r, c = Bc.row[~in_band], Bc.col[~in_band]
+        v = np.abs(Bc.data[~in_band])
+        np.add.at(ab, (np.zeros_like(r), r), v)
+        np.add.at(ab, (np.zeros_like(c), c), v)
+    return ab, n_dropped
 
-    on_sub = bi == bj + 1
-    np.add.at(
-        Asub, (bi[on_sub], Bc.row[on_sub] % q, Bc.col[on_sub] % q), Bc.data[on_sub]
+
+def _blocks_from_banded_cholesky(cb: np.ndarray, w: int):
+    """Scalar banded Cholesky factor → block-bidiagonal (nb, w, w) blocks.
+
+    A lower-triangular banded L with bandwidth ≤ w−1, partitioned into w×w
+    blocks, has only diagonal (lower-triangular) and first-subdiagonal
+    blocks — the shape the device associative-scan solver consumes.
+    Padding rows get unit diagonal (inert with zero RHS).
+    """
+    bw1, N = cb.shape
+    nb = -(-N // w) if N else 0
+    Ldiag = np.zeros((nb, w, w))
+    Lsub = np.zeros((nb, w, w))
+    for k in range(bw1):
+        if N - k <= 0:
+            break
+        c = np.arange(N - k)
+        r = c + k
+        vals = cb[k, : N - k]
+        bi, bj = r // w, c // w
+        same = bi == bj
+        Ldiag[bi[same], r[same] % w, c[same] % w] = vals[same]
+        sub = bi == bj + 1
+        Lsub[bi[sub], r[sub] % w, c[sub] % w] = vals[sub]
+    pad = np.arange(N, nb * w)
+    Ldiag[pad // w, pad % w, pad % w] = 1.0
+    return Ldiag, Lsub
+
+
+def banded_spd_factor(B: sp.spmatrix, C: np.ndarray, bw: int, w: int,
+                      require_exact: bool = False):
+    """Factor the SPD matrix [[B, C], [Cᵀ, E]]'s band part with LAPACK
+    `cholesky_banded` and solve the Woodbury columns B⁻¹C.
+
+    Returns (Ldiag, Lsub, Linv, BinvC, n_dropped). Raises
+    `np.linalg.LinAlgError` if B is not positive definite (LAPACK info>0),
+    `ValueError` if `require_exact` and the band drops entries.
+    """
+    import scipy.linalg as sla
+
+    nq = B.shape[0]
+    if nq == 0:
+        z = np.zeros((0, w, w))
+        return z, z, z, np.zeros((0, C.shape[1])), 0
+    bw = min(bw, nq - 1)
+    ab, n_dropped = _to_banded_lower(B, bw)
+    if require_exact and n_dropped:
+        raise ValueError(f"{n_dropped} out-of-band entries; factorization inexact")
+    try:
+        cb = sla.cholesky_banded(ab, lower=True)
+    except sla.LinAlgError as e:
+        raise np.linalg.LinAlgError(str(e))
+    BinvC = (
+        sla.cho_solve_banded((cb, True), C) if C.shape[1] else
+        np.zeros((nq, 0))
     )
-
-    on_super = bj == bi + 1  # symmetric counterpart of `on_sub`; not stored
-    out = ~(on_diag | on_sub | on_super)
-    if out.any():
-        # ILU-style: fold dropped symmetric pairs into the diagonal to keep
-        # the preconditioner SPD (adds |a_ij| to both diagonal entries)
-        rows = Bc.row[out]
-        vals = np.abs(Bc.data[out])
-        np.add.at(Adiag, (rows // q, rows % q, rows % q), vals)
-        n_dropped = int(out.sum()) // 2
-    return Adiag, Asub, n_dropped
-
-
-def _block_tridiag_cholesky(Adiag: np.ndarray, Asub: np.ndarray):
-    """L_i L_iᵀ = A_ii − M_i M_iᵀ,  M_i = A_{i,i−1} L_{i−1}⁻ᵀ."""
-    n, q, _ = Adiag.shape
-    L = np.zeros_like(Adiag)
-    M = np.zeros_like(Asub)
-    Lprev = None
-    for i in range(n):
-        D = Adiag[i].copy()
-        if i > 0:
-            Mi = np.linalg.solve(Lprev, Asub[i].T).T  # A_{i,i-1} L_{i-1}^{-T}
-            M[i] = Mi
-            D -= Mi @ Mi.T
-        L[i] = np.linalg.cholesky(0.5 * (D + D.T))
-        Lprev = L[i]
-    return L, M
-
-
-def _solve_block_bidiag(L, M, b):
-    """Host solve of L u = b then Lᵀ x = u (for the Woodbury columns)."""
-    n, q, _ = L.shape
-    u = np.zeros_like(b)
-    for i in range(n):
-        rhs = b[i] - (M[i] @ u[i - 1] if i > 0 else 0.0)
-        u[i] = np.linalg.solve(L[i], rhs)
-    x = np.zeros_like(b)
-    for i in range(n - 1, -1, -1):
-        rhs = u[i] - (M[i + 1].T @ x[i + 1] if i + 1 < n else 0.0)
-        x[i] = np.linalg.solve(L[i].T, rhs)
-    return x
+    Ldiag, Lsub = _blocks_from_banded_cholesky(cb, w)
+    Linv = np.linalg.inv(Ldiag)
+    return Ldiag, Lsub, Linv, BinvC, n_dropped
 
 
 def factor_banded(
@@ -193,28 +215,26 @@ def factor_banded(
     C = M_bl[:nq, nq:].toarray() if l else np.zeros((nq, 0))
     E = M_bl[nq:, nq:].toarray() if l else np.zeros((0, 0))
 
-    Adiag, Asub, n_dropped = _extract_blocks(B.tocsr(), n, q) if n else (
-        np.zeros((0, q, q)), np.zeros((0, q, q)), 0)
-    if require_exact and n_dropped:
-        raise ValueError(f"{n_dropped} out-of-band entries; factorization inexact")
-
-    L, Msub = _block_tridiag_cholesky(Adiag, Asub) if n else (
-        np.zeros((0, q, q)), np.zeros((0, q, q)))
-    Linv = np.linalg.inv(L) if n else np.zeros((0, q, q))
+    # block size for the device scan: a banded Cholesky factor with scalar
+    # bandwidth 2q−1 is exactly block-bidiagonal in 2q-sized blocks
+    bw = 2 * q - 1
+    w = 2 * q
+    L, Msub, Linv, BinvC, n_dropped = banded_spd_factor(
+        B.tocsr(), C, bw, w, require_exact=require_exact
+    )
 
     # ---- Woodbury for landmark columns ----
     if l:
-        BinvC = _solve_block_bidiag(L, Msub, C.reshape(n, q, l)).reshape(nq, l) if n else np.zeros((nq, l))
         cap = E - C.T @ BinvC
         cap = 0.5 * (cap + cap.T)
         cap_chol = np.linalg.cholesky(cap)  # raises if not PD
         cap_inv = np.linalg.inv(cap_chol.T) @ np.linalg.inv(cap_chol)
     else:
-        BinvC = np.zeros((nq, 0))
         cap_inv = np.zeros((0, 0))
 
     return BandedFactorHost(
-        q=q, n_blocks=n, perm=perm, inv_perm=inv_perm,
+        q=w, n_blocks=L.shape[0], band_len=nq,
+        perm=perm, inv_perm=inv_perm,
         L=L, M=Msub, Linv=Linv, s_sph=s_sph,
         BinvC=BinvC, cap_inv=cap_inv, C=C, E=E,
         n_dropped=n_dropped, lam=lam,
@@ -250,7 +270,8 @@ def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Calla
 
     dtype = dtype or pd.dtype()
     n, q, l, m = F.n_blocks, F.q, pd.l, pd.m
-    nq = n * q
+    nq = F.band_len  # true band length; the scan works on n*q ≥ nq padded rows
+    nq_pad = n * q
 
     Linv = jnp.asarray(F.Linv, dtype)
     LinvT = jnp.asarray(np.swapaxes(F.Linv, 1, 2), dtype)
@@ -290,12 +311,13 @@ def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Calla
         if n == 0:
             return b
         r = b.shape[1]
-        bb = b.reshape(n, q, r)
+        pad = jnp.zeros((nq_pad - nq, r), b.dtype)
+        bb = jnp.concatenate([b, pad], axis=0).reshape(n, q, r)
         c_fwd = jnp.einsum("nab,nbr->nar", Linv, bb)
         u = _affine_scan(A_fwd, c_fwd)
         c_bwd = jnp.einsum("nab,nbr->nar", LinvT, u)
         x = _affine_scan(A_bwd, c_bwd, reverse=True)
-        return x.reshape(nq, r)
+        return x.reshape(nq_pad, r)[:nq]
 
     def apply(V):
         V = V.astype(dtype)

@@ -31,7 +31,7 @@ import numpy as np
 
 from cora_tpu.graph.problem import Problem
 from cora_tpu.models.formulations import make_operator
-from cora_tpu.precond import make_preconditioner
+
 from cora_tpu.ops.riemannian import project_to_manifold, random_initial_guess
 from cora_tpu.solve.certify import certify_solution
 from cora_tpu.solve.rounding import align_estimate_to_origin, project_solution
@@ -68,19 +68,27 @@ def solve_cora(
 
     t_start = time.time()
     pd = problem.device_data(dtype=config.dtype)
-    op = make_operator(problem, pd, config.formulation, dtype=config.dtype)
-    precon_full = make_preconditioner(
-        problem, pd, config.preconditioner,
-        reg_chol_max_cond=config.reg_chol_max_cond,
+    op = problem.operator(config.formulation, dtype=config.dtype)
+    precon_full = problem.preconditioner_fn(
+        config.preconditioner, dtype=config.dtype,
+        max_cond=config.reg_chol_max_cond,
     )
     if implicit:
         # lift → full preconditioner → truncate (reference
-        # `CORA_problem.cpp:869-903`)
-        def precon(V):
-            pad = jnp.zeros((pd.num_translations, V.shape[1]), V.dtype)
-            return precon_full(jnp.concatenate([V, pad], axis=0))[
-                : pd.rot_range_size
-            ]
+        # `CORA_problem.cpp:869-903`); cached for jit closure identity
+        cache = getattr(problem, "_impl_precon_cache", None)
+        if cache is None:
+            cache = problem._impl_precon_cache = {}
+        key = (config.preconditioner, np.dtype(config.dtype).name,
+               config.reg_chol_max_cond)
+        if key not in cache:
+            def _impl_precon(V, _full=precon_full, _pd=pd):
+                pad = jnp.zeros((_pd.num_translations, V.shape[1]), V.dtype)
+                return _full(jnp.concatenate([V, pad], axis=0))[
+                    : _pd.rot_range_size
+                ]
+            cache[key] = _impl_precon
+        precon = cache[key]
     else:
         precon = precon_full
     cert_p = config.cert
