@@ -27,7 +27,61 @@ BASELINE_S = 3.57132
 REFERENCE_COST = 734.328
 
 
+def hv_microbench():
+    """Hessian-vector product throughput (BASELINE kernel metric):
+    GFLOP/s/chip of the factored Q·Y + manifold-correction pipeline on a
+    plaza2-sized graph. Run with CORA_BENCH_MODE=hv."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cora_tpu import parse_pyfg
+    from cora_tpu.ops.quadratic import data_matrix_product
+    from cora_tpu.ops.riemannian import random_initial_guess, riemannian_hvp
+
+    dtype_name = os.environ.get("CORA_BENCH_DTYPE", "float32")
+    problem = parse_pyfg(PLAZA2)
+    pd = problem.device_data(dtype=np.dtype(dtype_name).type)
+    rank = 4
+    Y = random_initial_guess(pd, rank, jax.random.PRNGKey(0))
+    nablaF = data_matrix_product(pd, Y)
+    V = jnp.ones_like(Y)
+
+    hvp = jax.jit(lambda Y, nablaF, V: riemannian_hvp(pd, Y, nablaF, V))
+    hvp(Y, nablaF, V).block_until_ready()
+    n_iter = 200
+    t0 = time.time()
+    out = V
+    for _ in range(n_iter):
+        out = hvp(Y, nablaF, out)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_iter
+
+    # FLOPs: Q product (2·nnz·r via edge kernels) + Weingarten/tangent terms
+    nnz = 2 * (
+        pd.num_rot_edges * (2 * pd.d * pd.d + 2 * pd.d)
+        + pd.num_pose_meas * (pd.d + 4)
+        + pd.m * 6
+    )
+    flops_q = nnz * rank
+    flops_manifold = pd.n * (4 * pd.d * pd.d * rank) + pd.m * 4 * rank
+    gflops = (flops_q + flops_manifold) / dt / 1e9
+    print(json.dumps({
+        "metric": "hv_product_gflops_per_chip",
+        "value": round(gflops, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": None,
+        "extra": {"latency_us": round(dt * 1e6, 1), "dtype": dtype_name,
+                  "device": str(jax.devices()[0])},
+    }))
+
+
 def main():
+    if os.environ.get("CORA_BENCH_MODE") == "hv":
+        hv_microbench()
+        return
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
     import jax
 

@@ -27,12 +27,35 @@ def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
-def _inv_sqrt_psd(M, eps=0.0):
+def _inv_sqrt_psd_eigh(M, eps=0.0):
     """Batched inverse matrix square root of small SPD matrices via eigh."""
     w, V = jnp.linalg.eigh(M)
     w = jnp.maximum(w, jnp.finfo(M.dtype).tiny)
     inv_sqrt_w = 1.0 / jnp.sqrt(w + eps)
     return jnp.einsum("...ab,...b,...cb->...ac", V, inv_sqrt_w, V)
+
+
+def _inv_sqrt_psd(M, iters: int = 25):
+    """Batched M^{-1/2} via trace-scaled Newton–Schulz iteration.
+
+    Pure d×d matmuls — compiles to a tiny fused program and runs on the
+    MXU/VPU, unlike `eigh` whose QR-iteration lowering dominated the
+    compile time of the TNT while-loop on TPU. 25 iterations give
+    ~1e-12 accuracy for condition numbers up to 1e5 (tested in
+    tests/test_geometry.py); retraction inputs are near-orthonormal so
+    typical inputs converge in a handful of steps.
+    """
+    d = M.shape[-1]
+    tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    tr = jnp.maximum(tr, jnp.finfo(M.dtype).tiny)
+    Mh = M / tr
+    I = jnp.eye(d, dtype=M.dtype)
+    Y, Z = Mh, jnp.broadcast_to(I, M.shape)
+    for _ in range(iters):
+        T = 0.5 * (3.0 * I - Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+    return Z / jnp.sqrt(tr)
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ def solve_cora(
     max_rank: int | None = None,
     config: SolverConfig | None = None,
     verbose: bool | None = None,
+    checkpoint_path: str | None = None,
 ) -> CoraResult:
     """Full certifiable solve of a range-aided SLAM problem."""
     config = config or SolverConfig()
@@ -93,9 +94,19 @@ def solve_cora(
         precon = precon_full
     cert_p = config.cert
 
+    ckpt = None
+    if checkpoint_path:
+        from cora_tpu.solve.checkpoint import maybe_resume
+
+        ckpt = maybe_resume(problem, checkpoint_path)
+
     state_height = pd.rot_range_size if implicit else pd.size
     rank = problem.dim + config.init_rank_jump
-    if x0 is None:
+    if ckpt is not None:
+        X = jnp.asarray(ckpt.Y, dtype=config.dtype)
+        rank = ckpt.rank
+        vprint(f"Resumed from checkpoint at rank {rank}")
+    elif x0 is None:
         X = random_initial_guess(
             pd, rank, jax.random.PRNGKey(config.seed), height=state_height
         )
@@ -116,19 +127,38 @@ def solve_cora(
             return op.implicit.translation_explicit_solution(Y)
         return Y
 
-    ranks_visited = []
+    ranks_visited = list(ckpt.ranks_visited) if ckpt is not None else []
     cert = None
-    eigvec_bootstrap = None
+    eigvec_bootstrap = ckpt.eigvec_bootstrap if ckpt is not None else None
     eta = cert_p.min_eta
-    first_loop = True
+    first_loop = eigvec_bootstrap is None
     result = None
     sdp_cost = float("nan")
     t_certificate = float("nan")
 
+    def save_ckpt(Y, r):
+        if checkpoint_path:
+            from cora_tpu.solve.checkpoint import (
+                StaircaseCheckpoint,
+                problem_fingerprint,
+            )
+
+            StaircaseCheckpoint(
+                Y=np.asarray(Y), rank=r, ranks_visited=ranks_visited,
+                eigvec_bootstrap=(
+                    np.asarray(eigvec_bootstrap)
+                    if eigvec_bootstrap is not None else None
+                ),
+                fingerprint=problem_fingerprint(problem),
+            ).save(checkpoint_path)
+
     while rank <= max_rank:
         ranks_visited.append(rank)
         vprint(f"\nSolving problem at rank {rank}")
-        result = tnt_solve(pd, X, precon, config.tnt, op=op)
+        result = tnt_solve(
+            pd, X, precon, config.tnt, op=op,
+            log_iterates=config.log_iterates,
+        )
         vprint(
             f"Obtained solution with objective {result.f:.6f} "
             f"(|grad| {result.gradfx_norm:.2e}, {result.num_iterations} its, "
@@ -140,7 +170,7 @@ def solve_cora(
         if first_loop:
             eigvec_bootstrap = np.asarray(Y_explicit)
             first_loop = False
-        else:
+        elif cert is not None:
             eigvec_bootstrap = cert.all_eigvecs
 
         cert = _certify_with_retry(
@@ -164,6 +194,7 @@ def solve_cora(
         if rank > max_rank:
             X = result.x
             break
+        save_ckpt(result.x, rank - 1)
         # negative-curvature direction in the solver's state space
         v = cert.x[: state_height]
         v = v / max(np.linalg.norm(v), 1e-300)

@@ -171,7 +171,8 @@ class _StaticArgs:
     params: tuple  # numeric params as a hashable tuple
 
 
-def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None):
+def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
+               log_iterates: bool = False):
     """The jit-compiled TNT loop. Returns final state + histories."""
     dtype = Y0.dtype
 
@@ -191,6 +192,9 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None):
 
     zeros_h = jnp.zeros((history_len,), dtype)
     izeros_h = jnp.zeros((history_len,), jnp.int32)
+    iterates0 = (
+        jnp.zeros((history_len,) + Y0.shape, dtype) if log_iterates else None
+    )
 
     # carry: Y, f, grad, nablaF, gradnorm, pgradnorm, Delta, k, status,
     #        histories (f, gnorm, pgnorm, stepnorm, inner_iters)
@@ -285,7 +289,11 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None):
         hist_s = c["hist_s"].at[k].set(jnp.where(accept, step_norm, 0.0))
         hist_i = c["hist_i"].at[k].set(inner_k)
 
+        out_extra = {}
+        if log_iterates:
+            out_extra["iterates"] = c["iterates"].at[k].set(Y_new)
         return dict(
+            **out_extra,
             Y=Y_new, f=f_new, grad=grad_new, nablaF=nablaF_new,
             gradnorm=gradnorm, pgradnorm=pgradnorm,
             Delta=Delta_new, k=k + 1, status=status,
@@ -304,7 +312,9 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None):
         ),
     ).astype(jnp.int32)
 
+    init_extra = {"iterates": iterates0} if log_iterates else {}
     init = dict(
+        **init_extra,
         Y=Y0, f=f0, grad=grad0, nablaF=nablaF0,
         gradnorm=gradnorm0, pgradnorm=pgradnorm0,
         Delta=jnp.asarray(params.delta0, dtype), k=jnp.zeros((), jnp.int32),
@@ -318,7 +328,8 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None):
 
 
 _tnt_jit = jax.jit(
-    _tnt_while, static_argnames=("precon", "params", "history_len", "op")
+    _tnt_while,
+    static_argnames=("precon", "params", "history_len", "op", "log_iterates"),
 )
 
 
@@ -328,6 +339,7 @@ def tnt_solve(
     precon: Callable,
     params: TNTParams | None = None,
     op: Callable | None = None,
+    log_iterates: bool = False,
 ) -> TNTResult:
     """Run TNT to convergence. `precon` maps ambient V → P·V (the tangent
     projection wrapper is applied internally, reference `CORA.cpp:87-92`)."""
@@ -336,7 +348,8 @@ def tnt_solve(
     # hashable param container so jit caches per parameter set
     params_frozen = dataclasses.replace(params)
     out = _tnt_jit(
-        pd, Y0, precon, HashableParams(params_frozen), params.max_iterations, op
+        pd, Y0, precon, HashableParams(params_frozen), params.max_iterations, op,
+        log_iterates,
     )
     out = jax.device_get(out)
     elapsed = time.time() - t0
@@ -356,6 +369,9 @@ def tnt_solve(
         update_step_norms=np.asarray(out["hist_s"][:k]),
         elapsed_time=elapsed,
         status=STATUS_NAMES.get(status, str(status)),
+        iterates=(
+            [np.asarray(y) for y in out["iterates"][:k]] if log_iterates else None
+        ),
     )
 
 
