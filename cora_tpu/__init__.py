@@ -28,6 +28,16 @@ import jax as _jax
 # device computations may still opt into float32 via SolverConfig.dtype.
 _jax.config.update("jax_enable_x64", True)
 
+# NOTE on matmul precision: the TPU MXU's default input precision is
+# bfloat16, which is numerically fatal for this solver in float32 mode
+# (κ ~ 1e4 rotation precisions; Newton–Schulz polar iterations diverge).
+# Instead of forcing `jax_default_matmul_precision=highest` globally
+# (which lowers every dot to a 6-pass decomposition and multiplies
+# Mosaic compile times), all tiny contractions (d ≤ 3 blocks, rank ≤ 10)
+# are unrolled into full-precision VPU multiply-adds
+# (`cora_tpu.ops.linalg.bmm`), and the few genuinely large contractions
+# (LOBPCG Rayleigh–Ritz) request HIGHEST precision explicitly.
+
 from cora_tpu.symbol import Symbol, SymbolPair, key  # noqa: E402,F401
 from cora_tpu.measurements import (  # noqa: E402,F401
     LandmarkPrior,

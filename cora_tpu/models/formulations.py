@@ -105,11 +105,13 @@ def _make_lred_apply(F, dtype):
     C = jnp.asarray(F.C, dtype)
     l_sp = F.C.shape[1]
 
+    from cora_tpu.ops.linalg import bmm
+
     def _affine_scan(A, c, reverse=False):
         def combine(x, y):
             A1, b1 = x
             A2, b2 = y
-            return A2 @ A1, jnp.einsum("nab,nbr->nar", A2, b1) + b2
+            return bmm(A2, A1), bmm(A2, b1) + b2
 
         _, bs = lax.associative_scan(combine, (A, c), axis=0, reverse=reverse)
         return bs
@@ -120,16 +122,16 @@ def _make_lred_apply(F, dtype):
         r = b.shape[1]
         pad = jnp.zeros((n * q - nb_len, r), b.dtype)
         bb = jnp.concatenate([b, pad], axis=0).reshape(n, q, r)
-        u = _affine_scan(A_fwd, jnp.einsum("nab,nbr->nar", Linv, bb))
-        x = _affine_scan(A_bwd, jnp.einsum("nab,nbr->nar", LinvT, u), reverse=True)
+        u = _affine_scan(A_fwd, bmm(Linv, bb))
+        x = _affine_scan(A_bwd, bmm(LinvT, u), reverse=True)
         return x.reshape(n * q, r)[:nb_len]
 
     def apply(v):  # v: (n_tr - 1, r)
         rhs_b, rhs_lm = v[:nb_len], v[nb_len:]
         y1 = solve_band(rhs_b)
         if l_sp:
-            y2 = cap_inv @ (rhs_lm - C.T @ y1)
-            x_b = y1 - BinvC @ y2
+            y2 = bmm(cap_inv, rhs_lm - bmm(C.T, y1))
+            x_b = y1 - bmm(BinvC, y2)
             return jnp.concatenate([x_b, y2], axis=0)
         return jnp.concatenate([y1, rhs_lm], axis=0)
 

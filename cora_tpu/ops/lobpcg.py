@@ -52,17 +52,19 @@ def lobpcg_min(
         Q, _ = jnp.linalg.qr(Z)
         return Q
 
+    HI = jax.lax.Precision.HIGHEST
+
     def rayleigh_ritz(Z):
         SZ = operator(Z)
-        A = Z.T @ SZ
+        A = jnp.matmul(Z.T, SZ, precision=HI)
         A = 0.5 * (A + A.T)
         theta, C = jnp.linalg.eigh(A)
         return theta, C, SZ
 
     X = _qr(X0)
     theta0, C, SX = rayleigh_ritz(X)
-    X = X @ C
-    SX = SX @ C
+    X = jnp.matmul(X, C, precision=HI)
+    SX = jnp.matmul(SX, C, precision=HI)
     P = jnp.zeros_like(X)
 
     def cond(c):
@@ -82,11 +84,11 @@ def lobpcg_min(
         Q = _qr(Z)
         theta_all, C, SQ = rayleigh_ritz(Q)
         Cx = C[:, :k]
-        X_new = Q @ Cx
-        SX_new = SQ @ Cx
+        X_new = jnp.matmul(Q, Cx, precision=HI)
+        SX_new = jnp.matmul(SQ, Cx, precision=HI)
         # search-direction memory: contribution of the (W, P) part
         Cp = Cx.at[:k, :].set(0.0)
-        P_new = Q @ Cp
+        P_new = jnp.matmul(Q, Cp, precision=HI)
         theta_new = theta_all[:k]
 
         done = n_conv >= nev

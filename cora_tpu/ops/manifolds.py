@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cora_tpu.ops.linalg import bmm
+
 
 def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
@@ -52,9 +54,9 @@ def _inv_sqrt_psd(M, iters: int = 25):
     I = jnp.eye(d, dtype=M.dtype)
     Y, Z = Mh, jnp.broadcast_to(I, M.shape)
     for _ in range(iters):
-        T = 0.5 * (3.0 * I - Z @ Y)
-        Y = Y @ T
-        Z = T @ Z
+        T = 0.5 * (3.0 * I - bmm(Z, Y))
+        Y = bmm(Y, T)
+        Z = bmm(T, Z)
     return Z / jnp.sqrt(tr)
 
 
@@ -67,8 +69,8 @@ def stiefel_project(A: jax.Array) -> jax.Array:
 
     Reference: SVD projection at `src/StiefelProduct.cpp:8-36`.
     """
-    AAT = jnp.einsum("ndr,ner->nde", A, A)
-    return jnp.einsum("nde,ner->ndr", _inv_sqrt_psd(AAT), A)
+    AAT = bmm(A, jnp.swapaxes(A, -1, -2))
+    return bmm(_inv_sqrt_psd(AAT), A)
 
 
 def stiefel_tangent_project(Y: jax.Array, V: jax.Array) -> jax.Array:
@@ -77,15 +79,15 @@ def stiefel_tangent_project(Y: jax.Array, V: jax.Array) -> jax.Array:
     Reference: `StiefelProduct.h:79-81` via SymBlockDiagProduct
     (`src/StiefelProduct.cpp:38-55`).
     """
-    YVt = jnp.einsum("ndr,ner->nde", Y, V)
-    return V - jnp.einsum("nde,ner->ndr", _sym(YVt), Y)
+    YVt = bmm(Y, jnp.swapaxes(V, -1, -2))
+    return V - bmm(_sym(YVt), Y)
 
 
 def stiefel_hess_correction(Y: jax.Array, nablaF: jax.Array, dotY: jax.Array) -> jax.Array:
     """sym(Y ∇Fᵀ) · Ẏ per block — the Weingarten term of the Riemannian
     Hessian (reference `CORA_problem.cpp:839-851`)."""
-    YGt = jnp.einsum("ndr,ner->nde", Y, nablaF)
-    return jnp.einsum("nde,ner->ndr", _sym(YGt), dotY)
+    YGt = bmm(Y, jnp.swapaxes(nablaF, -1, -2))
+    return bmm(_sym(YGt), dotY)
 
 
 def stiefel_random(key, n: int, d: int, r: int, dtype=jnp.float64) -> jax.Array:

@@ -29,6 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cora_tpu.ops.linalg import bmm, bmm_T
+
 from cora_tpu.graph.data import ProblemData
 
 
@@ -75,8 +77,8 @@ def data_matrix_product(pd: ProblemData, Y: jax.Array) -> jax.Array:
         else:
             Yi, Yj = Yrot[pd.rot_i], Yrot[pd.rot_j]
         k = pd.rot_kappa[:, None, None]
-        RYj = jnp.einsum("eab,ebr->ear", pd.rot_R, Yj)
-        RtYi = jnp.einsum("eba,ebr->ear", pd.rot_R, Yi)
+        RYj = bmm(pd.rot_R, Yj)
+        RtYi = bmm_T(pd.rot_R, Yi)
         ci = k * (Yi - RYj)
         cj = k * (Yj - RtYi)
         if pd.chain_rot:
@@ -94,7 +96,7 @@ def data_matrix_product(pd: ProblemData, Y: jax.Array) -> jax.Array:
         else:
             Yci = Yrot[pd.pm_ti]  # from-state is always a pose: valid rot index
             du = Ytr[pd.pm_tj] - Ytr[pd.pm_ti]
-        u = du - jnp.einsum("ed,edr->er", pd.pm_t, Yci)
+        u = du - jnp.sum(pd.pm_t[:, :, None] * Yci, axis=1)
         w = pd.pm_tau[:, None] * u
         contrib_rot = -pd.pm_t[:, :, None] * w[:, None, :]  # (E,d,r) outer products
         if pd.chain_pm:

@@ -30,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cora_tpu.graph.data import ProblemData
+from cora_tpu.ops.linalg import bmm, bmm_T
 
 AXIS = "graph"
 
@@ -110,14 +111,14 @@ def _partial_product(pd: ProblemData, rng_e: jax.Array, Y: jax.Array) -> jax.Arr
     if pd.rot_i.shape[0]:
         Yi, Yj = Yrot[pd.rot_i], Yrot[pd.rot_j]
         k = pd.rot_kappa[:, None, None]
-        RYj = jnp.einsum("eab,ebr->ear", pd.rot_R, Yj)
-        RtYi = jnp.einsum("eba,ebr->ear", pd.rot_R, Yi)
+        RYj = bmm(pd.rot_R, Yj)
+        RtYi = bmm_T(pd.rot_R, Yi)
         out_rot = out_rot + seg(k * (Yi - RYj), pd.rot_i, num_segments=pd.n)
         out_rot = out_rot + seg(k * (Yj - RtYi), pd.rot_j, num_segments=pd.n)
 
     if pd.pm_ti.shape[0]:
         Yci = Yrot[pd.pm_ti]
-        u = Ytr[pd.pm_tj] - Ytr[pd.pm_ti] - jnp.einsum("ed,edr->er", pd.pm_t, Yci)
+        u = Ytr[pd.pm_tj] - Ytr[pd.pm_ti] - jnp.sum(pd.pm_t[:, :, None] * Yci, axis=1)
         w = pd.pm_tau[:, None] * u
         out_rot = out_rot + seg(
             -pd.pm_t[:, :, None] * w[:, None, :], pd.pm_ti, num_segments=pd.n

@@ -116,7 +116,9 @@ def block_jacobi_preconditioner(pd: ProblemData, eps: float = 1e-3) -> Callable:
     def apply(V):
         r = V.shape[1]
         Vrot = V[: pd.rot_size].reshape(n, d, r)
-        Prot = jnp.einsum("nde,ner->ndr", inv_blocks, Vrot)
+        from cora_tpu.ops.linalg import bmm
+
+        Prot = bmm(inv_blocks, Vrot)
         return jnp.concatenate(
             [Prot.reshape(pd.rot_size, r), inv_scalar * V[pd.rot_size:]], axis=0
         )

@@ -297,11 +297,13 @@ def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Calla
     sph0 = pd.rot_size
     tr0 = pd.rot_size + pd.m
 
+    from cora_tpu.ops.linalg import bmm
+
     def _affine_scan(A, c, reverse=False):
         def combine(x, y):
             A1, b1 = x
             A2, b2 = y
-            return A2 @ A1, jnp.einsum("nab,nbr->nar", A2, b1) + b2
+            return bmm(A2, A1), bmm(A2, b1) + b2
 
         # associative scan over the block index
         As, bs = lax.associative_scan(combine, (A, c), axis=0, reverse=reverse)
@@ -313,9 +315,9 @@ def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Calla
         r = b.shape[1]
         pad = jnp.zeros((nq_pad - nq, r), b.dtype)
         bb = jnp.concatenate([b, pad], axis=0).reshape(n, q, r)
-        c_fwd = jnp.einsum("nab,nbr->nar", Linv, bb)
+        c_fwd = bmm(Linv, bb)
         u = _affine_scan(A_fwd, c_fwd)
-        c_bwd = jnp.einsum("nab,nbr->nar", LinvT, u)
+        c_bwd = bmm(LinvT, u)
         x = _affine_scan(A_bwd, c_bwd, reverse=True)
         return x.reshape(nq_pad, r)[:nq]
 
@@ -348,8 +350,8 @@ def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Calla
         rhs_b, rhs_lm = v_bl[:nq], v_bl[nq:]
         y1 = solve_B(rhs_b)
         if l:
-            y2 = cap_inv @ (rhs_lm - C.T @ y1)
-            x_b = y1 - BinvC @ y2
+            y2 = bmm(cap_inv, rhs_lm - bmm(C.T, y1))
+            x_b = y1 - bmm(BinvC, y2)
             x_lm = y2
         else:
             x_b, x_lm = y1, rhs_lm

@@ -46,7 +46,9 @@ def compute_lambda_blocks(pd: ProblemData, Y: jax.Array, QY=None):
         QY = data_matrix_product(pd, Y)
     Yrot, Ysph, _ = split_state(pd, Y)
     Grot, Gsph, _ = split_state(pd, QY)
-    P = jnp.einsum("ndr,ner->nde", Grot, Yrot)  # (QY)_i Y_iᵀ per pose
+    from cora_tpu.ops.linalg import bmm
+
+    P = bmm(Grot, jnp.swapaxes(Yrot, -1, -2))  # (QY)_i Y_iᵀ per pose
     Lam_rot = 0.5 * (P + jnp.swapaxes(P, -1, -2))  # (n, d, d)
     lam_sph = jnp.sum(Ysph * Gsph, axis=-1)  # (m,)
     return Lam_rot, lam_sph
@@ -54,7 +56,9 @@ def compute_lambda_blocks(pd: ProblemData, Y: jax.Array, QY=None):
 
 def apply_lambda(pd: ProblemData, Lam_rot, lam_sph, V: jax.Array) -> jax.Array:
     Vrot, Vsph, Vtr = split_state(pd, V)
-    LV_rot = jnp.einsum("nde,ner->ndr", Lam_rot, Vrot)
+    from cora_tpu.ops.linalg import bmm
+
+    LV_rot = bmm(Lam_rot, Vrot)
     LV_sph = lam_sph[:, None] * Vsph
     return join_state(pd, LV_rot, LV_sph, jnp.zeros_like(Vtr))
 

@@ -158,6 +158,7 @@ def solve_cora(
         result = tnt_solve(
             pd, X, precon, config.tnt, op=op,
             log_iterates=config.log_iterates,
+            max_iterations_override=config.max_staircase_iterations,
         )
         vprint(
             f"Obtained solution with objective {result.f:.6f} "

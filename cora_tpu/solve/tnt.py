@@ -61,8 +61,11 @@ STATUS_NAMES = {
 
 
 def _inner(a, b):
-    """Trace inner product ⟨A,B⟩ = tr(AᵀB) (reference `CORA.cpp:119-122`)."""
-    return jnp.vdot(a, b)
+    """Trace inner product ⟨A,B⟩ = tr(AᵀB) (reference `CORA.cpp:119-122`).
+
+    Elementwise multiply + full-array sum: full-precision on the VPU
+    regardless of the TPU matmul precision setting."""
+    return jnp.sum(a * b)
 
 
 def steihaug_toint_tcg(
@@ -172,7 +175,7 @@ class _StaticArgs:
 
 
 def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
-               log_iterates: bool = False):
+               log_iterates: bool = False, max_iters_dynamic=None):
     """The jit-compiled TNT loop. Returns final state + histories."""
     dtype = Y0.dtype
 
@@ -198,8 +201,16 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
 
     # carry: Y, f, grad, nablaF, gradnorm, pgradnorm, Delta, k, status,
     #        histories (f, gnorm, pgnorm, stepnorm, inner_iters)
+    iter_cap = (
+        jnp.asarray(params.max_iterations, jnp.int32)
+        if max_iters_dynamic is None
+        else jnp.minimum(
+            jnp.asarray(max_iters_dynamic, jnp.int32), params.max_iterations
+        )
+    )
+
     def cond(c):
-        return jnp.logical_and(c["k"] < params.max_iterations, c["status"] == RUNNING)
+        return jnp.logical_and(c["k"] < iter_cap, c["status"] == RUNNING)
 
     def body(c):
         Y, f, grad, nablaF = c["Y"], c["f"], c["grad"], c["nablaF"]
@@ -340,6 +351,7 @@ def tnt_solve(
     params: TNTParams | None = None,
     op: Callable | None = None,
     log_iterates: bool = False,
+    max_iterations_override: int | None = None,
 ) -> TNTResult:
     """Run TNT to convergence. `precon` maps ambient V → P·V (the tangent
     projection wrapper is applied internally, reference `CORA.cpp:87-92`)."""
@@ -350,6 +362,8 @@ def tnt_solve(
     out = _tnt_jit(
         pd, Y0, precon, HashableParams(params_frozen), params.max_iterations, op,
         log_iterates,
+        np.int32(max_iterations_override)
+        if max_iterations_override is not None else None,
     )
     out = jax.device_get(out)
     elapsed = time.time() - t0

@@ -86,6 +86,11 @@ class SolverConfig:
     tnt: TNTParams = dataclasses.field(default_factory=TNTParams)
     cert: CertParams = dataclasses.field(default_factory=CertParams)
     reg_chol_max_cond: float = 1e6  # CORA_REG_CHOLESKY_MAX_COND analog
+    # iteration cap for staircase levels before certification succeeds —
+    # the analog of the reference's 20 s per-rank time cap
+    # (`src/CORA.cpp:106`): uncertified low-rank levels don't deserve a
+    # full 250-iteration polish, the saddle escape restarts progress anyway
+    max_staircase_iterations: int | None = None
     seed: int = 0
     verbose: bool = False
     log_iterates: bool = False
