@@ -78,9 +78,113 @@ def hv_microbench():
     }))
 
 
+def scale_bench():
+    """BASELINE config 4: large synthetic graph (default 100k poses) on one
+    chip — Hv latency and effective GFLOP/s. Run with CORA_BENCH_MODE=scale."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cora_tpu.models.synthetic import synthetic_problem
+    from cora_tpu.ops.quadratic import data_matrix_product
+    from cora_tpu.ops.riemannian import random_initial_guess, riemannian_hvp
+
+    n_poses = int(os.environ.get("CORA_BENCH_POSES", "100000"))
+    dtype_name = os.environ.get("CORA_BENCH_DTYPE", "float32")
+    problem = synthetic_problem(
+        n_poses=n_poses, n_landmarks=10, n_ranges=n_poses // 2, seed=0
+    )
+    pd = problem.device_data(dtype=np.dtype(dtype_name).type)
+    rank = 4
+    Y = random_initial_guess(pd, rank, jax.random.PRNGKey(0))
+    nablaF = data_matrix_product(pd, Y)
+
+    hvp = jax.jit(lambda Y, nablaF, V: riemannian_hvp(pd, Y, nablaF, V))
+    hvp(Y, nablaF, Y).block_until_ready()
+    n_iter = 100
+    t0 = time.time()
+    out = Y
+    for _ in range(n_iter):
+        out = hvp(Y, nablaF, out)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_iter
+    print(json.dumps({
+        "metric": f"hv_latency_{n_poses}_poses",
+        "value": round(dt * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": None,
+        "extra": {"n_poses": n_poses, "N": pd.size, "dtype": dtype_name,
+                  "device": str(jax.devices()[0])},
+    }))
+
+
+def multichip_bench():
+    """Sharded-vs-single Hv throughput over all local devices (scaling
+    efficiency proxy; real multi-host runs use the same code path).
+    Run with CORA_BENCH_MODE=multichip."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cora_tpu.models.synthetic import synthetic_problem
+    from cora_tpu.ops.quadratic import data_matrix_product
+    from cora_tpu.ops.riemannian import random_initial_guess
+    from cora_tpu.parallel.sharding import (
+        make_mesh, make_sharded_operator, shard_problem_data,
+    )
+
+    n_poses = int(os.environ.get("CORA_BENCH_POSES", "100000"))
+    dtype_name = os.environ.get("CORA_BENCH_DTYPE", "float32")
+    problem = synthetic_problem(
+        n_poses=n_poses, n_landmarks=10, n_ranges=n_poses // 2, seed=0
+    )
+    pd = problem.device_data(dtype=np.dtype(dtype_name).type)
+    Y = random_initial_guess(pd, 4, jax.random.PRNGKey(0))
+
+    def timeit(op):
+        op(Y).block_until_ready()
+        t0 = time.time()
+        out = Y
+        for _ in range(50):
+            out = op(out)
+        out.block_until_ready()
+        return (time.time() - t0) / 50
+
+    t_single = timeit(jax.jit(lambda V: data_matrix_product(pd, V)))
+    ndev = len(jax.devices())
+    if ndev > 1:
+        mesh = make_mesh()
+        op = make_sharded_operator(shard_problem_data(pd, mesh), mesh)
+        t_sharded = timeit(jax.jit(op))
+        eff = t_single / (t_sharded * ndev)
+    else:
+        t_sharded, eff = float("nan"), float("nan")
+    print(json.dumps({
+        "metric": f"sharded_hv_scaling_{ndev}_devices",
+        "value": round(eff, 3) if eff == eff else None,
+        "unit": "efficiency",
+        "vs_baseline": None,
+        "extra": {"t_single_ms": round(t_single * 1e3, 3),
+                  "t_sharded_ms": round(t_sharded * 1e3, 3) if t_sharded == t_sharded else None,
+                  "n_devices": ndev, "n_poses": n_poses,
+                  "dtype": dtype_name},
+    }))
+
+
 def main():
-    if os.environ.get("CORA_BENCH_MODE") == "hv":
+    mode = os.environ.get("CORA_BENCH_MODE")
+    if mode == "hv":
         hv_microbench()
+        return
+    if mode == "scale":
+        scale_bench()
+        return
+    if mode == "multichip":
+        multichip_bench()
         return
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
     import jax

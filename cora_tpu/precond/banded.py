@@ -66,8 +66,49 @@ class BandedFactorHost:
     lam: float  # regularization actually used
 
 
-def build_permutation(pd: ProblemData):
-    """π interleaving rotation and translation rows per pose; landmarks last.
+def pose_ordering(pd: ProblemData) -> np.ndarray:
+    """Fill-reducing ordering of the pose blocks (reverse Cuthill–McKee).
+
+    The band structure couples pose i to pose j through odometry /
+    loop-closure edges and through sphere-eliminated pose↔pose range
+    edges. For single-robot chains RCM reproduces the natural order; for
+    multi-robot datasets with inter-robot ranges (tiers, mrclam) it
+    interleaves the robots so that cross-robot couplings land near the
+    diagonal instead of Θ(n) away.
+    """
+    import scipy.sparse.csgraph as csgraph
+
+    n = pd.n
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rows, cols = [], []
+
+    def add(i, j):
+        keep = (i < n) & (j < n) & (i != j)
+        rows.append(np.asarray(i)[keep])
+        cols.append(np.asarray(j)[keep])
+
+    if pd.num_rot_edges:
+        add(np.asarray(pd.rot_i), np.asarray(pd.rot_j))
+    if pd.num_pose_meas:
+        add(np.asarray(pd.pm_ti), np.asarray(pd.pm_tj))
+    if pd.m:
+        add(np.asarray(pd.rng_ti), np.asarray(pd.rng_tj))
+    if not rows:
+        return np.arange(n, dtype=np.int64)
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    A = sp.csr_matrix(
+        (np.ones(len(r)), (r, c)), shape=(n, n)
+    )
+    A = A + A.T
+    order = csgraph.reverse_cuthill_mckee(A.tocsr(), symmetric_mode=True)
+    return np.asarray(order, dtype=np.int64)
+
+
+def build_permutation(pd: ProblemData, order: np.ndarray | None = None):
+    """π interleaving rotation and translation rows per pose (in the given
+    pose order); landmarks last.
 
     Returns (perm, inv_perm) with `perm[k]` = original row of permuted row k.
     The permuted layout is [pose blocks (n·(d+1)) | landmarks (l)]; sphere
@@ -78,13 +119,14 @@ def build_permutation(pd: ProblemData):
     rot0 = 0
     tr0 = n * d + m  # original index of first pose translation
     lm0 = tr0 + n
+    if order is None:
+        order = np.arange(n, dtype=np.int64)
 
     perm = np.empty(n * q + l, dtype=np.int64)
     if n:
         blocks = perm[: n * q].reshape(n, q)
-        idx = np.arange(n)
-        blocks[:, :d] = rot0 + idx[:, None] * d + np.arange(d)[None, :]
-        blocks[:, d] = tr0 + idx
+        blocks[:, :d] = rot0 + order[:, None] * d + np.arange(d)[None, :]
+        blocks[:, d] = tr0 + order
     perm[n * q:] = np.arange(lm0, lm0 + l)
 
     inv_perm = np.empty(pd.size, dtype=np.int64)
@@ -194,7 +236,7 @@ def factor_banded(
     N = pd.size
     M_all = (M_sparse + lam * sp.eye(N, format="csr")).tocsr()
 
-    perm, inv_perm = build_permutation(pd)
+    perm, inv_perm = build_permutation(pd, order=pose_ordering(pd))
 
     sph0 = n * d
     sph_idx = np.arange(sph0, sph0 + m)
@@ -215,10 +257,19 @@ def factor_banded(
     C = M_bl[:nq, nq:].toarray() if l else np.zeros((nq, 0))
     E = M_bl[nq:, nq:].toarray() if l else np.zeros((0, 0))
 
-    # block size for the device scan: a banded Cholesky factor with scalar
-    # bandwidth 2q−1 is exactly block-bidiagonal in 2q-sized blocks
-    bw = 2 * q - 1
-    w = 2 * q
+    # measure the actual scalar bandwidth under the RCM pose ordering
+    # (2q−1 for pure chains; wider when inter-robot couplings exist),
+    # cap it to keep the scan blocks small, and pick the scan block size
+    # w ≥ bw+1 so the Cholesky factor is exactly block-bidiagonal
+    Bc = sp.tril(B).tocoo()
+    bw_actual = int((Bc.row - Bc.col).max()) if Bc.nnz else 0
+    BW_CAP = 96
+    bw = min(max(bw_actual, 2 * q - 1), BW_CAP)
+    if require_exact and bw_actual > BW_CAP:
+        raise ValueError(
+            f"bandwidth {bw_actual} exceeds cap {BW_CAP}; factorization inexact"
+        )
+    w = -(-(bw + 1) // q) * q  # round up to a multiple of q
     L, Msub, Linv, BinvC, n_dropped = banded_spd_factor(
         B.tocsr(), C, bw, w, require_exact=require_exact
     )

@@ -7,56 +7,72 @@ Parity with the reference:
     renormalization.
   * `alignEstimateToOrigin` (`src/CORA_problem.cpp:1236-1306`): rotate so
     the first rotation block is the identity, then center translations.
+
+These run **once per solve** on an (N, r≤10) matrix, so they execute on
+the host in numpy: submillisecond cost, and it keeps `jnp.linalg.svd`
+out of the TPU program set entirely (the tunneled v5e's AOT compiler
+crashes in AlgebraicSimplifier on the tall-skinny SVD lowering).
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from cora_tpu.graph.data import ProblemData
-from cora_tpu.ops import manifolds as mf
-from cora_tpu.ops.quadratic import join_state, split_state
 
 
-def project_solution(pd: ProblemData, Y: jnp.ndarray, verbose: bool = False):
+def _project_to_SOd_np(M: np.ndarray) -> np.ndarray:
+    """Batched (…,d,d) → SO(d) via SVD with determinant correction
+    (reference `projectToSOd`, `CORA_utils.cpp:188-202`)."""
+    U, _, Vt = np.linalg.svd(M)
+    det = np.linalg.det(U) * np.linalg.det(Vt)
+    U[det < 0, :, -1] *= -1
+    return U @ Vt
+
+
+def project_solution(pd: ProblemData, Y, verbose: bool = False):
     """Round a rank-r solution to rank d (reference `projectSolution`)."""
+    Y = np.asarray(Y)
+    dtype = Y.dtype
     d = pd.d
-    U, s, _ = jnp.linalg.svd(Y, full_matrices=False)
+    U, s, _ = np.linalg.svd(Y, full_matrices=False)
     Yd = U[:, :d] * s[None, :d]
 
-    Yrot, Ysph, Ytr = split_state(pd, Yd)
+    nd = pd.rot_size
+    Yrot = Yd[:nd].reshape(pd.n, d, d)
+    Ysph = Yd[nd:nd + pd.m]
+    Ytr = Yd[nd + pd.m:]
 
     if pd.n:
         # majority vote over block determinants (`CORA.cpp:379-413`)
-        dets = jnp.linalg.det(Yrot[:, :, :d])
-        ng0 = jnp.sum(dets > 0)
-        reflect = ng0 < pd.n / 2
-        reflector = jnp.where(
-            reflect,
-            jnp.concatenate([jnp.ones(d - 1, Yd.dtype), -jnp.ones(1, Yd.dtype)]),
-            jnp.ones(d, Yd.dtype),
-        )
-        Yrot = Yrot * reflector[None, None, :]
-        Ysph = Ysph * reflector[None, :]
-        Ytr = Ytr * reflector[None, :]
-        Yrot = mf.project_to_SOd(Yrot)
+        dets = np.linalg.det(Yrot)
+        if (dets > 0).sum() < pd.n / 2:
+            Yd[:, -1] *= -1
+            Yrot = Yd[:nd].reshape(pd.n, d, d)
+            Ysph = Yd[nd:nd + pd.m]
+            Ytr = Yd[nd + pd.m:]
+        Yrot = _project_to_SOd_np(Yrot)
 
-    Ysph = mf.oblique_project(Ysph)
-    return join_state(pd, Yrot, Ysph, Ytr)
+    norms = np.linalg.norm(Ysph, axis=1, keepdims=True)
+    Ysph = Ysph / np.maximum(norms, np.finfo(Y.dtype).tiny)
+    return np.concatenate(
+        [Yrot.reshape(nd, d), Ysph, Ytr], axis=0
+    ).astype(dtype)
 
 
-def align_estimate_to_origin(pd: ProblemData, Y: jnp.ndarray) -> jnp.ndarray:
+def align_estimate_to_origin(pd: ProblemData, Y) -> np.ndarray:
     """Gauge-fix a rank-d solution (reference `alignEstimateToOrigin`)."""
+    Y = np.asarray(Y)
     d = pd.d
     Y_aligned = Y
     if pd.n:
         first_rot = Y[:d, :d]
         Y_aligned = Y @ first_rot.T
     # center translations at the origin
-    Yrot, Ysph, Ytr = split_state(pd, Y_aligned)
-    Ytr = Ytr - jnp.mean(Ytr, axis=0, keepdims=True)
-    return join_state(pd, Yrot, Ysph, Ytr)
+    tr0 = pd.rot_size + pd.m
+    Y_aligned = Y_aligned.copy()
+    Y_aligned[tr0:] -= Y_aligned[tr0:].mean(axis=0, keepdims=True)
+    return Y_aligned
 
 
 def check_variables_are_valid(pd: ProblemData, Y, atol=1e-6) -> None:
