@@ -128,6 +128,7 @@ def solve_cora(
         return Y
 
     ranks_visited = list(ckpt.ranks_visited) if ckpt is not None else []
+    all_iterates = [] if config.log_iterates else None
     cert = None
     eigvec_bootstrap = ckpt.eigvec_bootstrap if ckpt is not None else None
     eta = cert_p.min_eta
@@ -154,12 +155,14 @@ def solve_cora(
 
     while rank <= max_rank:
         ranks_visited.append(rank)
-        vprint(f"\nSolving problem at rank {rank}")
+        vprint(f"\n[t={time.time()-t_start:7.2f}s] Solving problem at rank {rank}")
         result = tnt_solve(
             pd, X, precon, config.tnt, op=op,
             log_iterates=config.log_iterates,
             max_iterations_override=config.max_staircase_iterations,
         )
+        if all_iterates is not None and result.iterates:
+            all_iterates.extend(result.iterates)
         vprint(
             f"Obtained solution with objective {result.f:.6f} "
             f"(|grad| {result.gradfx_norm:.2e}, {result.num_iterations} its, "
@@ -174,12 +177,14 @@ def solve_cora(
         elif cert is not None:
             eigvec_bootstrap = cert.all_eigvecs
 
+        t_c = time.time()
         cert = _certify_with_retry(
             problem, pd, Y_explicit, eta, cert_p, eigvec_bootstrap
         )
         vprint(
-            f"Certified: {cert.is_certified} (eta={eta:.2e}, "
-            f"theta={cert.theta:.3e}, {cert.num_iters} eig iters)"
+            f"[t={time.time()-t_start:7.2f}s] Certified: {cert.is_certified} "
+            f"(eta={eta:.2e}, theta={cert.theta:.3e}, {cert.num_iters} eig "
+            f"iters, cert took {time.time()-t_c:.2f}s)"
         )
 
         if np.isnan(cert.theta):
@@ -199,10 +204,13 @@ def solve_cora(
         # negative-curvature direction in the solver's state space
         v = cert.x[: state_height]
         v = v / max(np.linalg.norm(v), 1e-300)
+        t_e = time.time()
         X = saddle_escape(
             pd, result.x, cert.theta, v, precon,
             SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose, op=op,
         )
+        vprint(f"[t={time.time()-t_start:7.2f}s] saddle escape took "
+               f"{time.time()-t_e:.2f}s")
 
     sdp_certified = bool(cert.is_certified)
 
@@ -211,7 +219,14 @@ def solve_cora(
     if X.shape[1] > problem.dim:
         vprint(f"\nProjecting solution to rank {problem.dim} and refining")
         X = project_solution(pd, X, verbose=verbose)
-        result = tnt_solve(pd, X, precon, config.tnt, op=op)
+        result = tnt_solve(
+            pd, X, precon, config.tnt, op=op,
+            log_iterates=config.log_iterates,
+        )
+        if all_iterates is not None and result.iterates:
+            all_iterates.extend(result.iterates)
+        if all_iterates is not None:
+            result.iterates = all_iterates
         vprint(f"FINAL objective {result.f:.6f}")
         eta = _clamp(result.f * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
         final_cert = _certify_with_retry(
@@ -227,6 +242,8 @@ def solve_cora(
         f"certified: {final_cert.is_certified} | suboptimality bound: "
         f"{suboptimality:.6f}"
     )
+    if all_iterates is not None and result.iterates is not all_iterates:
+        result.iterates = all_iterates
     return CoraResult(
         result=result,
         certified=sdp_certified,
