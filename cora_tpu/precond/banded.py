@@ -236,7 +236,15 @@ def factor_banded(
     N = pd.size
     M_all = (M_sparse + lam * sp.eye(N, format="csr")).tocsr()
 
-    perm, inv_perm = build_permutation(pd, order=pose_ordering(pd))
+    # the permutation depends only on the graph structure — cache it on the
+    # problem (certification calls factor_banded once per staircase level)
+    cached = getattr(problem, "_band_perm_cache", None) if problem is not None else None
+    if cached is not None and cached[0] == pd.size:
+        perm, inv_perm = cached[1], cached[2]
+    else:
+        perm, inv_perm = build_permutation(pd, order=pose_ordering(pd))
+        if problem is not None:
+            problem._band_perm_cache = (pd.size, perm, inv_perm)
 
     sph0 = n * d
     sph_idx = np.arange(sph0, sph0 + m)

@@ -34,7 +34,12 @@ import numpy as np
 
 from cora_tpu.graph.data import ProblemData
 from cora_tpu.ops.lobpcg import lobpcg_min
-from cora_tpu.ops.quadratic import data_matrix_product, join_state, split_state
+from cora_tpu.ops.quadratic import (
+    data_matrix_product,
+    jacobi_diagonal,
+    join_state,
+    split_state,
+)
 from cora_tpu.types import CertResults
 
 DENSE_CUTOFF = 100  # reference `CORA_utils.cpp:63`
@@ -86,6 +91,69 @@ def materialize_certificate(problem, pd: ProblemData, Y) -> np.ndarray:
     for e in range(pd.m):
         S[pd.rot_size + e, pd.rot_size + e] -= lam_sph[e]
     return S
+
+
+_lam_jit = jax.jit(compute_lambda_blocks)
+
+
+@partial(jax.jit, static_argnames=("it1", "it2", "tol"))
+def _cert_eig_device(pd, Y, Lam_rot, lam_sph, X0, eta, it1, it2, tol):
+    """Minimum eigenpair of S = Q − Λ via the two-stage LOBPCG cascade,
+    compiled as ONE device program with η as a dynamic argument (the
+    staircase calls this once per rank level and again on each η-doubling
+    NaN retry; baking η into the trace would recompile every time).
+
+    Mirrors `fast_verification` stages 3–4 (`CORA_utils.cpp:90-176`):
+    stage 1 unpreconditioned with a 1% budget + early stop on clearly
+    negative curvature, stage 2 Jacobi-preconditioned (the reference uses
+    a host ILDL; a clamped diagonal keeps the whole test on device).
+    """
+    eta = jnp.asarray(eta, Y.dtype)
+
+    def M_op(V):
+        return (
+            data_matrix_product(pd, V)
+            - apply_lambda(pd, Lam_rot, lam_sph, V)
+            + eta * V
+        )
+
+    # stage 1: unpreconditioned, early-stop when θ_M < η/2 ⟺ θ_S < −η/2
+    _, X1, k1, _ = lobpcg_min(
+        M_op, X0, it1, tol=tol, nev=1, early_stop_below=eta / 2.0
+    )
+
+    # stage 2: Jacobi-preconditioned with the remaining budget. Runs
+    # unconditionally (same compiled program either way); if stage 1
+    # already found negative curvature the early-stop fires on the first
+    # body iteration, costing one cheap (N,3k) block step.
+    diagS = jacobi_diagonal(pd)
+    diag_rot = (
+        jnp.diagonal(Lam_rot, axis1=-2, axis2=-1).reshape(-1)
+        if pd.n
+        else jnp.zeros((0,), Y.dtype)
+    )
+    lam_diag = jnp.concatenate(
+        [diag_rot, lam_sph, jnp.zeros((pd.num_translations,), Y.dtype)]
+    )
+    diagM = diagS - lam_diag + eta
+    inv_diag = jnp.where(jnp.abs(diagM) > 1e-8, 1.0 / jnp.abs(diagM), 1.0)[:, None]
+
+    _, X2, k2, _ = lobpcg_min(
+        M_op,
+        X1,
+        it2,
+        tol=tol,
+        nev=1,
+        precon=lambda V: inv_diag * V,
+        early_stop_below=eta / 2.0,
+    )
+
+    x = X2[:, 0]
+    theta = x @ (M_op(x[:, None])[:, 0] - eta * x)  # Rayleigh quotient on S
+    # convergence of the leading Ritz pair (residual on M)
+    R = M_op(X2[:, :1]) - (theta + eta) * X2[:, :1]
+    resnorm = jnp.linalg.norm(R)
+    return theta, x, X2, k1 + k2, resnorm
 
 
 def certify_solution(
@@ -147,7 +215,7 @@ def certify_solution(
     # mirroring the reference's CHOLMOD attempt at `CORA_utils.cpp:31-51`;
     # here it is the sphere-elimination → block-tridiagonal → Woodbury
     # factorization, which is exact on odometry-chain graphs) ---
-    S_op, lam_blocks = make_certificate_operator(pd, Y)
+    lam_blocks = _lam_jit(pd, Y)
     eta = float(eta)
 
     psd_known = False
@@ -169,56 +237,25 @@ def certify_solution(
         except ValueError:
             pass  # band inexact: fall through to the eigensolver decision
 
-    def M_op(V):
-        return S_op(V) + eta * V
-
     rng = np.random.default_rng(seed)
-    X0 = jnp.asarray(rng.standard_normal((N, num_eigvecs)), dtype=Y.dtype)
+    X0 = rng.standard_normal((N, num_eigvecs)).astype(np.asarray(Y).dtype)
     if eigvec_bootstrap is not None:
-        boot = jnp.asarray(eigvec_bootstrap)
+        boot = np.asarray(eigvec_bootstrap)
         if boot.ndim == 1:
             boot = boot[:, None]
         ncols = min(boot.shape[1], num_eigvecs)
-        X0 = X0.at[:, :ncols].set(boot[:, :ncols])
+        X0[:, :ncols] = boot[:, :ncols]
+    X0 = jnp.asarray(X0)
 
-    # stage 1: unpreconditioned, 1% of budget, early-stop on obviously
-    # negative curvature (`CORA_utils.cpp:101-126`)
     it1 = max(int(0.01 * max_lobpcg_iters), 3)
-    theta_blk, X_blk, k1, _ = lobpcg_min(
-        M_op, X0, it1, tol=tol, nev=1, early_stop_below=eta / 2.0
+    it2 = max_lobpcg_iters - it1
+    theta, x, X_blk, iters, resnorm = jax.device_get(
+        _cert_eig_device(
+            pd, Y, lam_blocks[0], lam_blocks[1], X0, eta, it1, it2, tol
+        )
     )
-    x = X_blk[:, 0]
-    theta = float(x @ S_op(x[:, None])[:, 0])
-    iters = int(k1)
-
-    if theta >= -eta / 2.0:
-        # stage 2: Jacobi-preconditioned LOBPCG with the remaining budget
-        from cora_tpu.ops.quadratic import jacobi_diagonal
-
-        Lam_rot, lam_sph = compute_lambda_blocks(pd, Y)
-        diagS = jacobi_diagonal(pd)
-        diag_rot = (
-            jnp.diagonal(Lam_rot, axis1=-2, axis2=-1).reshape(-1)
-            if pd.n
-            else jnp.zeros((0,), Y.dtype)
-        )
-        lam_diag = jnp.concatenate(
-            [diag_rot, lam_sph, jnp.zeros((pd.num_translations,), Y.dtype)]
-        )
-        diagM = diagS - lam_diag + eta
-        inv_diag = jnp.where(jnp.abs(diagM) > 1e-8, 1.0 / jnp.abs(diagM), 1.0)[:, None]
-
-        def precon(V):
-            return inv_diag * V
-
-        it2 = max_lobpcg_iters - it1
-        theta_blk, X_blk, k2, _ = lobpcg_min(
-            M_op, X_blk, it2, tol=tol, nev=1, precon=precon,
-            early_stop_below=eta / 2.0,
-        )
-        x = X_blk[:, 0]
-        theta = float(x @ S_op(x[:, None])[:, 0])
-        iters += int(k2)
+    theta = float(theta)
+    iters = int(iters)
 
     if psd_known:
         certified = False
@@ -226,8 +263,7 @@ def certify_solution(
         # no exact factorization available: certify only on a *converged*
         # non-negative verdict (a barely-negative unconverged Ritz value
         # must not certify)
-        R = M_op(X_blk[:, :1]) - (theta + eta) * X_blk[:, :1]
-        converged = float(jnp.linalg.norm(R)) <= tol * max(abs(theta), 1.0)
+        converged = float(resnorm) <= tol * max(abs(theta), 1.0)
         certified = bool(theta >= -eta and converged)
 
     return CertResults(
@@ -240,25 +276,21 @@ def certify_solution(
 
 
 def _certificate_sparse(problem, pd: ProblemData, lam_blocks):
-    """Host sparse S = Q − Λ from the precomputed Λ blocks."""
+    """Host sparse S = Q − Λ from the precomputed Λ blocks (vectorized)."""
     import scipy.sparse as sp
 
-    Lam_rot, lam_sph = lam_blocks
-    Lam_rot = np.asarray(Lam_rot)
-    lam_sph = np.asarray(lam_sph)
+    Lam_rot, lam_sph = jax.device_get(lam_blocks)
     d, n, m = pd.d, pd.n, pd.m
-    rows, cols, vals = [], [], []
-    for i in range(n):
-        for a in range(d):
-            for b in range(d):
-                rows.append(i * d + a)
-                cols.append(i * d + b)
-                vals.append(Lam_rot[i, a, b])
-    off = pd.rot_size
-    for e in range(m):
-        rows.append(off + e)
-        cols.append(off + e)
-        vals.append(lam_sph[e])
     N = pd.size
+    blk = np.arange(n)[:, None, None] * d
+    rows_rot = (blk + np.arange(d)[None, :, None]).reshape(-1)
+    cols_rot = (blk + np.arange(d)[None, None, :]).reshape(-1)
+    off = pd.rot_size
+    rows = np.concatenate([rows_rot, off + np.arange(m)])
+    cols = np.concatenate([cols_rot, off + np.arange(m)])
+    vals = np.concatenate(
+        [np.asarray(Lam_rot, np.float64).reshape(-1),
+         np.asarray(lam_sph, np.float64)]
+    )
     Lam = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
     return (problem.data_matrix() - Lam).tocsr()
