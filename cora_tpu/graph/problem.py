@@ -238,46 +238,80 @@ class Problem:
             self._data_matrix = assembly.build_data_matrix(self.submatrices())
         return self._data_matrix
 
-    def device_data(self, dtype=np.float64):
+    def device_data(self, dtype=np.float64, device=None):
+        """Device-resident factored problem data; `device` optionally pins
+        placement (e.g. the host CPU for the float64 polish pass)."""
+        import contextlib
+
+        import jax
+
         from cora_tpu.graph import data
 
-        key = np.dtype(dtype).name
+        key = (np.dtype(dtype).name, str(device))
         cache = getattr(self, "_device_data", None)
         if cache is None:
             cache = self._device_data = {}
         if key not in cache:
-            cache[key] = data.build_problem_data(self, dtype=dtype)
+            ctx = (
+                jax.default_device(device)
+                if device is not None
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                cache[key] = data.build_problem_data(self, dtype=dtype)
         return cache[key]
 
-    def operator(self, formulation, dtype=np.float64):
+    def operator(self, formulation, dtype=np.float64, device=None):
         """Cached quadratic-form operator closure. Caching matters: jit
         specializes on closure identity, so a fresh closure per solve
         would recompile every (identical) program."""
+        import contextlib
+
+        import jax
+
         from cora_tpu.models import formulations
 
-        key = (formulation, np.dtype(dtype).name)
+        key = (formulation, np.dtype(dtype).name, str(device))
         cache = getattr(self, "_op_cache", None)
         if cache is None:
             cache = self._op_cache = {}
         if key not in cache:
-            cache[key] = formulations.make_operator(
-                self, self.device_data(dtype), formulation, dtype=dtype
+            ctx = (
+                jax.default_device(device)
+                if device is not None
+                else contextlib.nullcontext()
             )
+            with ctx:
+                cache[key] = formulations.make_operator(
+                    self, self.device_data(dtype, device=device),
+                    formulation, dtype=dtype,
+                )
         return cache[key]
 
-    def preconditioner_fn(self, kind, dtype=np.float64, max_cond: float = 1e6):
+    def preconditioner_fn(self, kind, dtype=np.float64, max_cond: float = 1e6,
+                          device=None):
         """Cached preconditioner apply-closure (same jit-identity reason)."""
+        import contextlib
+
+        import jax
+
         from cora_tpu import precond
 
-        key = (kind, np.dtype(dtype).name, max_cond)
+        key = (kind, np.dtype(dtype).name, max_cond, str(device))
         cache = getattr(self, "_precon_cache", None)
         if cache is None:
             cache = self._precon_cache = {}
         if key not in cache:
-            cache[key] = precond.make_preconditioner(
-                self, self.device_data(dtype), kind,
-                dtype=dtype, reg_chol_max_cond=max_cond,
+            ctx = (
+                jax.default_device(device)
+                if device is not None
+                else contextlib.nullcontext()
             )
+            with ctx:
+                cache[key] = precond.make_preconditioner(
+                    self, self.device_data(dtype, device=device), kind,
+                    dtype=dtype, reg_chol_max_cond=max_cond,
+                )
         return cache[key]
 
     def invalidate(self) -> None:

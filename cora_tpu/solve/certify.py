@@ -167,8 +167,17 @@ def certify_solution(
     tol: float = 1e-3,
     seed: int = 0,
     rank_deficient_exit: bool = False,
+    method: str = "host",
 ) -> CertResults:
-    """Certify Y as a global optimum (reference `certify_solution`)."""
+    """Certify Y as a global optimum (reference `certify_solution`).
+
+    `method="host"` (default) runs the float64 host cascade
+    (`cora_tpu.solve.verification`): banded-Cholesky / sparse-LDLᵀ PSD
+    decision, then shift-invert Lanczos for the minimum eigenpair — the
+    CHOLMOD + ILDL-LOBPCG analog of `src/CORA_utils.cpp:17-186`.
+    `method="device"` keeps the whole test on device with the two-stage
+    LOBPCG (TPU-only operation; weaker convergence at θ ~ 1e-5 scales).
+    """
     Y = jnp.asarray(Y)
     N = pd.size
     r = Y.shape[1]
@@ -211,12 +220,54 @@ def certify_solution(
             num_iters=0,
         )
 
-    # --- PSD fast path: banded Cholesky of S + ηI (the decision procedure,
-    # mirroring the reference's CHOLMOD attempt at `CORA_utils.cpp:31-51`;
-    # here it is the sphere-elimination → block-tridiagonal → Woodbury
-    # factorization, which is exact on odometry-chain graphs) ---
-    lam_blocks = _lam_jit(pd, Y)
     eta = float(eta)
+
+    # --- host float64 cascade (default): Λ and S recomputed in f64 from
+    # Y so the verdict is not polluted by the float32 staircase state ---
+    if method == "host":
+        from cora_tpu.solve.verification import (
+            certificate_matrix_host,
+            verify_psd_host,
+        )
+
+        S_host = certificate_matrix_host(
+            pd, problem.data_matrix(), np.asarray(Y)
+        )
+
+        # banded-Cholesky PSD fast path (exact on chain-structured
+        # graphs; the CHOLMOD attempt of `CORA_utils.cpp:31-51`)
+        if pd.n:
+            try:
+                from cora_tpu.precond.banded import factor_banded
+
+                factor_banded(problem, pd, S_host, eta, require_exact=True)
+                return CertResults(
+                    is_certified=True,
+                    theta=0.0,
+                    x=np.zeros(N),
+                    all_eigvecs=np.zeros((N, num_eigvecs)),
+                    num_iters=0,
+                )
+            except (np.linalg.LinAlgError, ValueError):
+                pass  # not PD or band inexact: the LDLᵀ/Lanczos stage decides
+
+        v0 = None
+        if eigvec_bootstrap is not None:
+            boot = np.asarray(eigvec_bootstrap)
+            v0 = boot[:, 0] if boot.ndim == 2 else boot
+            if v0.shape[0] != N:
+                v0 = None
+        hv = verify_psd_host(S_host, eta, nev=num_eigvecs, v0=v0)
+        return CertResults(
+            is_certified=bool(hv.is_psd),
+            theta=hv.theta,
+            x=hv.x,
+            all_eigvecs=hv.eigvecs,
+            num_iters=hv.num_eig_iters,
+        )
+
+    # --- device path: factored-operator LOBPCG cascade, stays on TPU ---
+    lam_blocks = _lam_jit(pd, Y)
 
     psd_known = False
     if pd.n:

@@ -49,6 +49,7 @@ REL_DECREASE = 3
 STEPSIZE = 4
 DELTA_TOL = 5
 MAX_ITERS = 6
+TIME_CAP = 7
 
 STATUS_NAMES = {
     GRAD_TOL: "gradient_tolerance",
@@ -57,7 +58,19 @@ STATUS_NAMES = {
     STEPSIZE: "stepsize",
     DELTA_TOL: "trust_region_collapse",
     MAX_ITERS: "max_iterations",
+    TIME_CAP: "time_cap",
 }
+
+# statuses that indicate the iteration stalled at the dtype's precision
+# floor short of the gradient tolerance (used by the staircase to decide
+# when a float64 polish pass is worthwhile)
+STALL_STATUSES = ("trust_region_collapse", "relative_decrease", "stepsize")
+
+# the while_loop runs in device-resident chunks of this many outer
+# iterations; between chunks the host checks the per-rank wall-clock cap
+# (reference `max_computation_time`, `src/CORA.cpp:106`). One chunk covers
+# a typical staircase level, so the common case stays a single dispatch.
+CHUNK_ITERS = 64
 
 
 def _inner(a, b):
