@@ -168,6 +168,7 @@ def certify_solution(
     seed: int = 0,
     rank_deficient_exit: bool = False,
     method: str = "host",
+    eig_tol: float = 1e-8,
 ) -> CertResults:
     """Certify Y as a global optimum (reference `certify_solution`).
 
@@ -257,7 +258,10 @@ def certify_solution(
             v0 = boot[:, 0] if boot.ndim == 2 else boot
             if v0.shape[0] != N:
                 v0 = None
-        hv = verify_psd_host(S_host, eta, nev=num_eigvecs, v0=v0)
+        hv = verify_psd_host(
+            S_host, eta, nev=num_eigvecs, v0=v0, tol=eig_tol,
+            maxiter=max_lobpcg_iters,
+        )
         return CertResults(
             is_certified=bool(hv.is_psd),
             theta=hv.theta,
@@ -273,8 +277,11 @@ def certify_solution(
     if pd.n:
         try:
             from cora_tpu.precond.banded import factor_banded
+            from cora_tpu.solve.verification import certificate_matrix_host
 
-            S_sparse = _certificate_sparse(problem, pd, lam_blocks)
+            S_sparse = certificate_matrix_host(
+                pd, problem.data_matrix(), np.asarray(Y)
+            )
             factor_banded(problem, pd, S_sparse, eta, require_exact=True)
             return CertResults(
                 is_certified=True,
@@ -324,24 +331,3 @@ def certify_solution(
         all_eigvecs=np.asarray(X_blk),
         num_iters=iters,
     )
-
-
-def _certificate_sparse(problem, pd: ProblemData, lam_blocks):
-    """Host sparse S = Q − Λ from the precomputed Λ blocks (vectorized)."""
-    import scipy.sparse as sp
-
-    Lam_rot, lam_sph = jax.device_get(lam_blocks)
-    d, n, m = pd.d, pd.n, pd.m
-    N = pd.size
-    blk = np.arange(n)[:, None, None] * d
-    rows_rot = (blk + np.arange(d)[None, :, None]).reshape(-1)
-    cols_rot = (blk + np.arange(d)[None, None, :]).reshape(-1)
-    off = pd.rot_size
-    rows = np.concatenate([rows_rot, off + np.arange(m)])
-    cols = np.concatenate([cols_rot, off + np.arange(m)])
-    vals = np.concatenate(
-        [np.asarray(Lam_rot, np.float64).reshape(-1),
-         np.asarray(lam_sph, np.float64)]
-    )
-    Lam = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
-    return (problem.data_matrix() - Lam).tocsr()

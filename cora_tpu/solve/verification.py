@@ -95,11 +95,21 @@ def _symmetric_splu(M: sp.csc_matrix):
 
 
 def try_psd_factor(M: sp.csc_matrix):
-    """Attempt the PSD decision. Returns (is_pd, lu_or_None)."""
+    """Attempt the PSD decision. Returns (is_pd, lu_or_None).
+
+    The inertia argument (all-positive U diagonal ⟺ PD) is only valid if
+    SuperLU performed *no off-diagonal pivoting* — with
+    `diag_pivot_thresh=0` it still row-pivots when a diagonal pivot is
+    exactly/near zero. Detect that by checking the row permutation equals
+    the column permutation; if they differ the factorization is a genuine
+    LU and its U diagonal says nothing about definiteness, so the verdict
+    falls through to the Lanczos stage (never falsely certify)."""
     try:
         lu = _symmetric_splu(M)
     except RuntimeError:  # "Factor is exactly singular"
         return False, None
+    if not np.array_equal(lu.perm_r, lu.perm_c):
+        return False, None  # off-diagonal pivots: inertia unknown, not "PD"
     if np.all(lu.U.diagonal() > 0.0):
         return True, lu
     return False, None
@@ -112,6 +122,7 @@ def verify_psd_host(
     v0: np.ndarray | None = None,
     tol: float = 1e-8,
     max_shift_doublings: int = 60,
+    maxiter: int = 300,
 ) -> HostVerification:
     """Full cascade: PSD decision on S + ηI, else min eigenpairs of S.
 
@@ -147,7 +158,13 @@ def verify_psd_host(
         )
 
     k = int(min(max(nev, 1), N - 1))
-    opinv = spla.LinearOperator((N, N), matvec=lu.solve, dtype=np.float64)
+    n_ops = [0]
+
+    def _opinv(x):
+        n_ops[0] += 1
+        return lu.solve(x)
+
+    opinv = spla.LinearOperator((N, N), matvec=_opinv, dtype=np.float64)
     if v0 is not None:
         v0 = np.asarray(v0, np.float64).reshape(N)
         nrm = np.linalg.norm(v0)
@@ -155,13 +172,18 @@ def verify_psd_host(
     try:
         w, V = spla.eigsh(
             S.astype(np.float64), k=k, sigma=-c, which="LM",
-            OPinv=opinv, v0=v0, tol=tol, maxiter=300,
+            OPinv=opinv, v0=v0, tol=tol, maxiter=maxiter,
         )
         converged = True
     except spla.ArpackNoConvergence as e:
+        # a partial eigenpair set need not contain the true minimum
+        # eigenvalue, so θ may overestimate — never certify from this
+        # branch (converged=False ⇒ is_psd=False); the partial eigvecs
+        # still seed the saddle-escape bootstrap (reference
+        # `fast_verification` also only certifies from the Cholesky stage)
         w, V = e.eigenvalues, e.eigenvectors
-        converged = w.size > 0
-        if not converged:
+        converged = False
+        if w.size == 0:
             w, V = np.array([np.nan]), np.zeros((N, 1))
     order = np.argsort(w)
     w, V = w[order], V[:, order]
@@ -172,6 +194,6 @@ def verify_psd_host(
         x=V[:, 0],
         eigvecs=V,
         num_factor=n_factor,
-        num_eig_iters=k,  # ARPACK hides its op count; report pairs found
+        num_eig_iters=n_ops[0],  # shift-invert OPx applications
         converged=converged,
     )
