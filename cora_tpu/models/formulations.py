@@ -65,7 +65,7 @@ def _lred_factor(problem, pd: ProblemData):
             "currently requires chain+landmark structure"
         )
     w = max(2 * (bw + 1), 2)
-    Lc, Mc, Linv, BinvC, n_dropped = bd.banded_spd_factor(
+    Lc, Mc, Linv, BinvC, n_dropped, _cb = bd.banded_spd_factor(
         B_band, C, bw, w, require_exact=True
     )
     if l_sp:

@@ -64,6 +64,8 @@ class BandedFactorHost:
     E: np.ndarray  # (l, l)
     n_dropped: int  # out-of-band entries folded into the diagonal
     lam: float  # regularization actually used
+    cb: np.ndarray | None = None  # LAPACK banded Cholesky factor of B
+    # (lower form) — kept for host-side solves (float64 polish precon)
 
 
 def pose_ordering(pd: ProblemData) -> np.ndarray:
@@ -198,7 +200,7 @@ def banded_spd_factor(B: sp.spmatrix, C: np.ndarray, bw: int, w: int,
     nq = B.shape[0]
     if nq == 0:
         z = np.zeros((0, w, w))
-        return z, z, z, np.zeros((0, C.shape[1])), 0
+        return z, z, z, np.zeros((0, C.shape[1])), 0, None
     bw = min(bw, nq - 1)
     ab, n_dropped = _to_banded_lower(B, bw)
     if require_exact and n_dropped:
@@ -213,7 +215,7 @@ def banded_spd_factor(B: sp.spmatrix, C: np.ndarray, bw: int, w: int,
     )
     Ldiag, Lsub = _blocks_from_banded_cholesky(cb, w)
     Linv = np.linalg.inv(Ldiag)
-    return Ldiag, Lsub, Linv, BinvC, n_dropped
+    return Ldiag, Lsub, Linv, BinvC, n_dropped, cb
 
 
 def factor_banded(
@@ -278,7 +280,7 @@ def factor_banded(
             f"bandwidth {bw_actual} exceeds cap {BW_CAP}; factorization inexact"
         )
     w = -(-(bw + 1) // q) * q  # round up to a multiple of q
-    L, Msub, Linv, BinvC, n_dropped = banded_spd_factor(
+    L, Msub, Linv, BinvC, n_dropped, cb = banded_spd_factor(
         B.tocsr(), C, bw, w, require_exact=require_exact
     )
 
@@ -296,8 +298,55 @@ def factor_banded(
         perm=perm, inv_perm=inv_perm,
         L=L, M=Msub, Linv=Linv, s_sph=s_sph,
         BinvC=BinvC, cap_inv=cap_inv, C=C, E=E,
-        n_dropped=n_dropped, lam=lam,
+        n_dropped=n_dropped, lam=lam, cb=cb,
     )
+
+
+def host_banded_solve(pd: ProblemData, F: BandedFactorHost, V: np.ndarray) -> np.ndarray:
+    """Host float64 solve M⁻¹V from a BandedFactorHost — the numpy mirror
+    of `make_device_apply` using LAPACK's banded triangular solves
+    (`scipy.linalg.cho_solve_banded`). Used as the float64-polish
+    preconditioner where SuperLU would cost ~8 ms per apply."""
+    import scipy.linalg as sla
+
+    V = np.asarray(V, np.float64)
+    m = pd.m
+    sph0 = pd.rot_size
+    tr0 = sph0 + m
+    nq = F.band_len
+    r = V.shape[1]
+
+    if m:
+        c_val = np.asarray(pd.rng_omega, np.float64) * np.asarray(pd.rng_r, np.float64)
+        rng_ti = np.asarray(pd.rng_ti)
+        rng_tj = np.asarray(pd.rng_tj)
+        w_sph = V[sph0:tr0] / F.s_sph[:, None]
+        corr = np.zeros((pd.num_translations, r))
+        cw = c_val[:, None] * w_sph
+        np.subtract.at(corr, rng_ti, cw)
+        np.add.at(corr, rng_tj, cw)
+        full = np.concatenate([V[:sph0], np.zeros((m, r)), V[tr0:] - corr])
+    else:
+        full = V.copy()
+
+    v_bl = full[F.perm]
+    rhs_b, rhs_lm = v_bl[:nq], v_bl[nq:]
+    y1 = sla.cho_solve_banded((F.cb, True), rhs_b) if nq else rhs_b
+    if F.C.shape[1]:
+        y2 = F.cap_inv @ (rhs_lm - F.C.T @ y1)
+        x_b = y1 - F.BinvC @ y2
+        x_lm = y2
+    else:
+        x_b, x_lm = y1, rhs_lm
+    out = np.zeros((pd.size, r))
+    out[F.perm] = np.concatenate([x_b, x_lm], axis=0)
+
+    if m:
+        x_tr = out[tr0:]
+        out[sph0:tr0] = (
+            V[sph0:tr0] - c_val[:, None] * (x_tr[rng_tj] - x_tr[rng_ti])
+        ) / F.s_sph[:, None]
+    return out
 
 
 def estimate_spectral_norm(Q: sp.spmatrix, tol: float = 1e-2) -> float:

@@ -1,0 +1,309 @@
+"""Host float64 endgame polish: drive the Riemannian gradient to ~1e-6
+before certification.
+
+The device staircase runs in float32 for raw TPU speed and stalls at the
+dtype's precision floor (|grad| ~ 1e-2..1 at plaza2 scale) — but the
+certificate S = Q − Λ(Y) proves optimality only together with
+(near-)stationarity of Y, and the reference certifies TNT output
+converged to its 1e-6 gradient tolerance in double precision
+(`src/CORA.cpp:98-109,139-171`). This module is the handoff: a compact
+float64 Riemannian trust-region Newton (Steihaug–Toint tCG) polish on
+the host, preconditioned by an exact sparse factorization of Q + λI —
+the same regularized-Cholesky scheme as the device preconditioner
+(`src/CORA_problem.cpp:544-614`), realized with SuperLU.
+
+Why host/numpy instead of the device TNT in float64: the single-chip TPU
+(v5e) has no native f64, and this is a few dozen iterations on an
+already-near-critical point — sparse mat-vecs at this scale are
+microseconds on the host and need zero XLA compilation. The math mirrors
+`cora_tpu.ops.riemannian` exactly (same formulas, reference
+`src/CORA_problem.cpp:742-938`), so the polished point is a stationary
+point of the same objective the device solver optimized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+@dataclasses.dataclass
+class PolishResult:
+    Y: np.ndarray
+    f: float
+    grad_norm: float  # float64 Riemannian gradient norm at Y
+    iterations: int
+    status: str
+
+
+# ---------------------------------------------------------------------------
+# float64 manifold calculus (numpy mirror of cora_tpu.ops.riemannian)
+# ---------------------------------------------------------------------------
+
+def _split(pd, Y):
+    nd = pd.rot_size
+    r = Y.shape[1]
+    return (
+        Y[:nd].reshape(pd.n, pd.d, r),
+        Y[nd:nd + pd.m],
+        Y[nd + pd.m:],
+    )
+
+
+def _join(pd, Yrot, Ysph, Ytr):
+    r = Yrot.shape[-1]
+    return np.concatenate([Yrot.reshape(pd.rot_size, r), Ysph, Ytr], axis=0)
+
+
+def _sym(M):
+    return 0.5 * (M + np.swapaxes(M, -1, -2))
+
+
+def _bT(A):
+    return np.swapaxes(A, -1, -2)
+
+
+def tangent_project(pd, Y, V):
+    Yrot, Ysph, Ytr = _split(pd, Y)
+    Vrot, Vsph, Vtr = _split(pd, V)
+    YVt = np.matmul(Yrot, _bT(Vrot))
+    Prot = Vrot - np.matmul(_sym(YVt), Yrot)
+    inner = np.sum(Ysph * Vsph, axis=-1, keepdims=True)
+    Psph = Vsph - inner * Ysph
+    return _join(pd, Prot, Psph, Vtr)
+
+
+def hessian_vector_product(pd, Q, Y, nablaF, dotY):
+    """Riemannian Hv (reference `CORA_problem.cpp:822-867`) in float64."""
+    H = Q @ dotY
+    Yrot, Ysph, _ = _split(pd, Y)
+    Grot, Gsph, _ = _split(pd, nablaF)
+    Hrot, Hsph, Htr = _split(pd, H)
+    drot, dsph, _ = _split(pd, dotY)
+
+    YGt = np.matmul(Yrot, _bT(Grot))
+    Hrot = Hrot - np.matmul(_sym(YGt), drot)
+    YVt = np.matmul(Yrot, _bT(Hrot))
+    Hrot = Hrot - np.matmul(_sym(YVt), Yrot)
+
+    inner = np.sum(Gsph * Ysph, axis=-1, keepdims=True)
+    Hsph = Hsph - inner * dsph
+    hi = np.sum(Ysph * Hsph, axis=-1, keepdims=True)
+    Hsph = Hsph - hi * Ysph
+
+    return _join(pd, Hrot, Hsph, Htr)
+
+
+def _invsqrt_spd(M):
+    """Batched (…,d,d) SPD inverse square root; closed form for d ≤ 2
+    (M^{1/2} = (M + √det·I)/√(tr + 2√det)), eigh otherwise."""
+    d = M.shape[-1]
+    if d == 1:
+        return 1.0 / np.sqrt(np.maximum(M, np.finfo(np.float64).tiny))
+    if d == 2:
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 1, 1]
+        s = np.sqrt(np.maximum(a * c - b * b, np.finfo(np.float64).tiny))
+        t = np.sqrt(np.maximum(a + c + 2.0 * s, np.finfo(np.float64).tiny))
+        # (M + sI)^{-1} · t  ==  M^{-1/2}
+        det = (a + s) * (c + s) - b * b
+        f = t / np.maximum(det, np.finfo(np.float64).tiny)
+        out = np.empty_like(M)
+        out[..., 0, 0] = f * (c + s)
+        out[..., 1, 1] = f * (a + s)
+        out[..., 0, 1] = -f * b
+        out[..., 1, 0] = -f * b
+        return out
+    w, V = np.linalg.eigh(M)
+    w = np.maximum(w, np.finfo(np.float64).tiny)
+    return np.matmul(V * (1.0 / np.sqrt(w))[..., None, :], _bT(V))
+
+
+def project_to_manifold(pd, A):
+    """Polar projection per block: A_i ↦ (A_i A_iᵀ)^{-1/2} A_i; rows
+    normalized on the oblique block (reference `CORA_problem.cpp:905-934`)."""
+    Arot, Asph, Atr = _split(pd, A)
+    if pd.n:
+        AAT = np.matmul(Arot, _bT(Arot))
+        Arot = np.matmul(_invsqrt_spd(AAT), Arot)
+    if pd.m:
+        nrm = np.linalg.norm(Asph, axis=-1, keepdims=True)
+        Asph = Asph / np.maximum(nrm, np.finfo(np.float64).tiny)
+    return _join(pd, Arot, Asph, Atr)
+
+
+# ---------------------------------------------------------------------------
+# preconditioner: (Q + λI)^{-1} — banded+Woodbury fast path (LAPACK
+# triangular solves, ~1 ms/apply), SuperLU fallback for non-banded graphs
+# ---------------------------------------------------------------------------
+
+def _q_norm(problem) -> float:
+    """Cached ‖Q‖₂ estimate."""
+    cached = getattr(problem, "_polish_qnorm", None)
+    if cached is None:
+        from cora_tpu.precond.banded import estimate_spectral_norm
+
+        cached = problem._polish_qnorm = float(
+            estimate_spectral_norm(problem.data_matrix())
+        )
+    return cached
+
+
+def _regularized_lu(problem, max_cond: float = 1e6):
+    cache = getattr(problem, "_polish_lu_cache", None)
+    if cache is not None and cache[0] == max_cond:
+        return cache[1]
+    Q = problem.data_matrix()
+    lam = _q_norm(problem) / (max_cond - 1.0)
+    lu = spla.splu((Q + lam * sp.eye(Q.shape[0])).tocsc())
+    problem._polish_lu_cache = (max_cond, lu)
+    return lu
+
+
+def _host_precon(problem, pd, max_cond: float = 1e6):
+    """V ↦ (Q+λI)⁻¹V on host: banded factor when the graph permits
+    (exact for every reference dataset), SuperLU otherwise."""
+    cache = getattr(problem, "_polish_precon_cache", None)
+    if cache is not None and cache[0] == max_cond:
+        return cache[1]
+    try:
+        from cora_tpu.precond.banded import factor_banded, host_banded_solve
+
+        lam = _q_norm(problem) / (max_cond - 1.0)
+        F = factor_banded(problem, pd, problem.data_matrix(), lam,
+                          require_exact=True)
+
+        def solve(V, _F=F, _pd=pd):
+            return host_banded_solve(_pd, _F, V)
+    except (np.linalg.LinAlgError, ValueError):
+        lu = _regularized_lu(problem, max_cond)
+
+        def solve(V, _lu=lu):
+            return _lu.solve(V)
+    problem._polish_precon_cache = (max_cond, solve)
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# trust-region Newton polish
+# ---------------------------------------------------------------------------
+
+def _newton_cg(grad, hess, precon, max_iters, kappa=0.25, theta=1.0):
+    """Unconstrained preconditioned CG for H s = −grad, truncated at
+    negative curvature (returns the accumulated iterate; the steepest
+    direction if curvature is negative immediately). Inexact-Newton
+    forcing term: stop at ‖r‖_P ≤ ‖r₀‖_P·min(κ, ‖r₀‖_P^θ) for
+    superlinear convergence."""
+    s = np.zeros_like(grad)
+    r = grad.copy()
+    z = precon(r)
+    d = -z
+    rz = float(np.vdot(r, z))
+    if rz <= 0:
+        return -grad, 0
+    rz_stop = rz * min(kappa, (np.sqrt(rz)) ** theta) ** 2
+    tiny = np.finfo(np.float64).tiny
+    for k in range(max_iters):
+        Hd = hess(d)
+        dHd = float(np.vdot(d, Hd))
+        if dHd <= 0:
+            return (d if k == 0 else s), k + 1
+        alpha = rz / max(dHd, tiny)
+        s = s + alpha * d
+        r = r + alpha * Hd
+        z = precon(r)
+        rz_new = float(np.vdot(r, z))
+        if rz_new <= rz_stop:
+            return s, k + 1
+        d = -z + (rz_new / max(rz, tiny)) * d
+        rz = rz_new
+    return s, max_iters
+
+
+def polish_solution(
+    problem,
+    pd,
+    Y,
+    grad_tol: float | None = None,
+    max_iterations: int = 30,
+    max_tcg_iterations: int = 60,
+    max_cond: float = 1e6,
+    time_budget: float | None = None,
+) -> PolishResult:
+    """Polish Y to a float64 (near-)critical point of f(Y) = ½tr(YᵀQY)
+    on the product manifold (translation-explicit formulation).
+
+    Regularized Riemannian Newton-CG: each outer iteration solves
+    (Hess + τI)s = −grad inexactly with preconditioned CG and an Armijo
+    backtracking line search, with τ = min(1, |grad|) — a Levenberg-style
+    damping that keeps the system positive definite through the
+    mixed-curvature region and vanishes as the gradient does (restoring
+    fast local convergence). This beats both a trust-region loop (the
+    O(r)-gauge null space makes M-norm radii crawl) and undamped
+    Newton-CG (immediate negative-curvature truncations) at the SDP
+    endgame.
+
+    `grad_tol` defaults to 1e-6·‖Q‖₂ — the reference's 1e-6 gradient
+    tolerance (`src/CORA.cpp:100-101`) expressed scale-invariantly.
+    """
+    Q = problem.data_matrix()  # float64 CSR
+    precon = _host_precon(problem, pd, max_cond)
+    if grad_tol is None:
+        grad_tol = 1e-6 * max(1.0, _q_norm(problem))
+    Y = project_to_manifold(pd, np.asarray(Y, np.float64))
+    t0 = time.time()
+
+    def f_and_grad(Y):
+        nablaF = Q @ Y
+        f = 0.5 * float(np.vdot(Y, nablaF))
+        grad = tangent_project(pd, Y, nablaF)
+        return f, grad, nablaF
+
+    f, grad, nablaF = f_and_grad(Y)
+    gn = float(np.linalg.norm(grad))
+    status = "max_iterations"
+    k = 0
+    for k in range(1, max_iterations + 1):
+        if gn <= grad_tol:
+            status = "gradient_tolerance"
+            break
+        if time_budget is not None and time.time() - t0 > time_budget:
+            status = "time_budget"
+            break
+
+        tau = min(1.0, gn)
+
+        def hess(v):
+            return hessian_vector_product(pd, Q, Y, nablaF, v) + tau * v
+
+        def prec(v):
+            return tangent_project(pd, Y, precon(v))
+
+        s, _ = _newton_cg(grad, hess, prec, max_tcg_iterations)
+        gdir = float(np.vdot(grad, s))
+        if gdir >= 0:  # not a descent direction: steepest descent
+            s = -prec(grad)
+            gdir = float(np.vdot(grad, s))
+
+        alpha, accepted = 1.0, False
+        for _ in range(40):
+            Y_prop = project_to_manifold(pd, Y + alpha * s)
+            f_prop, grad_prop, nablaF_prop = f_and_grad(Y_prop)
+            if f_prop <= f + 1e-4 * alpha * gdir or f_prop < f:
+                accepted = True
+                break
+            alpha *= 0.5
+        if not accepted:
+            status = "line_search_failure"
+            break
+        Y, f, grad, nablaF = Y_prop, f_prop, grad_prop, nablaF_prop
+        gn = float(np.linalg.norm(grad))
+    else:
+        k = max_iterations
+
+    if gn <= grad_tol:
+        status = "gradient_tolerance"
+    return PolishResult(Y=Y, f=f, grad_norm=gn, iterations=k, status=status)

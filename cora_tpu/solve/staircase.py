@@ -19,6 +19,25 @@ Parity with `solveCORA` (reference `src/CORA.cpp:26-243`):
 Host Python orchestrates the (at most ~7) rank levels; each level's
 entire solve runs as one compiled device program. Rank is a static shape,
 so each level compiles once and is cached across solves.
+
+TPU-native deviations from the reference's control flow (both exist
+because the device staircase runs in float32 with a per-level iteration
+cap, where the reference runs float64 TNT to its 1e-6 tolerance):
+
+  * **Ramp levels.** When a level exhausts its iteration/time budget at a
+    point that is nowhere near critical (|grad| ≫ tolerance), S = Q − Λ
+    carries no optimality information and there is no saddle to escape —
+    instead of paying for certification + the escape line search, the
+    state is lifted with a small random column (breaking the rank-r
+    invariant subspace that a zero column would preserve) and the
+    staircase continues at rank r+1.
+  * **Finish phase + float64 polish.** A level that does reach a
+    (near-)critical point is re-run with the full tCG budget to the
+    float32 floor, then polished on the host in float64
+    (`cora_tpu.solve.polish`) to the reference's 1e-6 gradient tolerance
+    before the certificate is computed — so certification always happens
+    at a genuinely stationary point, as in the reference
+    (`src/CORA.cpp:139-171`).
 """
 
 from __future__ import annotations
@@ -38,6 +57,7 @@ from cora_tpu.solve.rounding import align_estimate_to_origin, project_solution
 from cora_tpu.solve.saddle import saddle_escape
 from cora_tpu.solve.tnt import tnt_solve
 from cora_tpu.types import CoraResult, Formulation, SolverConfig
+from cora_tpu.utils.timing import PhaseTimer
 
 SADDLE_GRAD_TOL = 1e-4  # reference `CORA.cpp:191-192`
 PRECON_SADDLE_GRAD_TOL = 1e-4
@@ -45,6 +65,32 @@ PRECON_SADDLE_GRAD_TOL = 1e-4
 
 def _clamp(val, lo, hi):
     return min(max(val, lo), hi)
+
+
+def _trim_rank(Y: np.ndarray, d: int, rel_tol: float = 1e-3) -> np.ndarray:
+    """Drop numerically-dead columns of Y via thin SVD: Y ↦ U_r Σ_r.
+
+    X = YYᵀ (and with it cost, Λ blocks and the certificate S) is
+    preserved up to the trimmed singular energy; the right factor Vᵀ is
+    pure gauge. Keeps at least d columns (St(d,r) needs r ≥ d)."""
+    U, s, _ = np.linalg.svd(np.asarray(Y, np.float64), full_matrices=False)
+    if s.size == 0 or s[0] == 0:
+        return np.asarray(Y, np.float64)
+    r = max(int((s > rel_tol * s[0]).sum()), d)
+    return U[:, :r] * s[:r]
+
+
+@jax.jit
+def _lift_random(pd, Y, key, scale):
+    """Lift Y to rank r+1 with a small random column, reprojected.
+
+    A zero column would leave the lifted point on a rank-r invariant
+    subspace of the dynamics (the gradient's new column is identically
+    zero); the random column breaks the symmetry so TNT can populate the
+    new dimension. Used at ramp levels where there is no saddle structure
+    to follow (cf. the eigenvector escape, `src/CORA.cpp:245-350`)."""
+    col = scale * jax.random.normal(key, (Y.shape[0], 1), Y.dtype)
+    return project_to_manifold(pd, jnp.concatenate([Y, col], axis=1))
 
 
 def solve_cora(
@@ -153,14 +199,41 @@ def solve_cora(
                 fingerprint=problem_fingerprint(problem),
             ).save(checkpoint_path)
 
+    timer = PhaseTimer()
+    grad_norm_f64 = float("nan")
+    # tr(Q): calibrates the ramp-lift column so its objective energy is a
+    # fixed small fraction of the current cost (host, cached sparse Q)
+    trace_q = float(problem.data_matrix().diagonal().sum())
+
+    def _polish(Y_explicit, label="polish_f64"):
+        """Host float64 polish of the translation-explicit state; returns
+        (Y_polished_f64, f_f64, grad_norm_f64) or None when disabled."""
+        if not config.polish:
+            return None
+        from cora_tpu.solve.polish import polish_solution
+
+        with timer(label):
+            pres = polish_solution(
+                problem, pd, np.asarray(Y_explicit),
+                grad_tol=config.polish_grad_tol,
+            )
+        vprint(
+            f"[t={time.time()-t_start:7.2f}s] f64 polish: f {pres.f:.6f}, "
+            f"|grad| {pres.grad_norm:.2e} ({pres.iterations} its, "
+            f"{pres.status})"
+        )
+        return pres
+
     while rank <= max_rank:
         ranks_visited.append(rank)
         vprint(f"\n[t={time.time()-t_start:7.2f}s] Solving problem at rank {rank}")
-        result = tnt_solve(
-            pd, X, precon, config.tnt, op=op,
-            log_iterates=config.log_iterates,
-            max_iterations_override=config.max_staircase_iterations,
-        )
+        with timer("tnt_ramp"):
+            result = tnt_solve(
+                pd, X, precon, config.tnt, op=op,
+                log_iterates=config.log_iterates,
+                max_iterations_override=config.max_staircase_iterations,
+                max_tcg_override=config.ramp_tcg_iterations,
+            )
         if all_iterates is not None and result.iterates:
             all_iterates.extend(result.iterates)
         vprint(
@@ -169,8 +242,92 @@ def solve_cora(
             f"{result.elapsed_time:.2f}s, {result.status})"
         )
 
-        eta = _clamp(result.f * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
+        capped = result.status in ("max_iterations", "time_cap")
+        if (
+            capped
+            and result.gradfx_norm > config.lift_grad_norm
+            and rank < max_rank
+        ):
+            # ramp level: nowhere near a critical point — no certificate
+            # to check, no saddle to escape (see module docstring)
+            rank += 1
+            save_ckpt(result.x, rank)
+            # column scaled so E[colᵀQ col] ≈ lift_rel_energy · 2f — the
+            # perturbation can't regress the objective by more than ~1%
+            scale = float(
+                np.sqrt(
+                    config.lift_rel_energy * 2.0 * max(result.f, 1e-12)
+                    / max(trace_q, 1e-12)
+                )
+            )
+            with timer("lift"):
+                X = _lift_random(
+                    pd, result.x,
+                    jax.random.PRNGKey(config.seed * 1000 + rank),
+                    jnp.asarray(scale, result.x.dtype),
+                )
+            vprint(f"[t={time.time()-t_start:7.2f}s] ramp level: lifted to "
+                   f"rank {rank} (column scale {scale:.2e})")
+            continue
+
+        # finish phase: full tCG budget down to the float32 floor
+        if capped or config.ramp_tcg_iterations < config.tnt.max_tcg_iterations:
+            with timer("tnt_finish"):
+                result = tnt_solve(
+                    pd, result.x, precon, config.tnt, op=op,
+                    log_iterates=config.log_iterates,
+                )
+            if all_iterates is not None and result.iterates:
+                all_iterates.extend(result.iterates)
+            vprint(
+                f"[t={time.time()-t_start:7.2f}s] finish: objective "
+                f"{result.f:.6f} (|grad| {result.gradfx_norm:.2e}, "
+                f"{result.num_iterations} its, {result.status})"
+            )
+
         Y_explicit = to_explicit(result.x)
+        # near-critical points of the rank-r relaxation collapse to the
+        # SDP rank: trim numerically-dead columns (Y ↦ UΣ keeps
+        # X = YYᵀ and hence Λ/S; reference exploits the same rank
+        # deficiency at `CORA_problem.cpp:1036-1049`) so the polish
+        # works in a space without excess gauge degeneracy
+        if result.gradfx_norm <= config.lift_grad_norm:
+            Y_trim = _trim_rank(np.asarray(Y_explicit), problem.dim)
+            if Y_trim.shape[1] < Y_explicit.shape[1]:
+                vprint(
+                    f"[t={time.time()-t_start:7.2f}s] trimmed solution rank "
+                    f"{Y_explicit.shape[1]} → {Y_trim.shape[1]}"
+                )
+                Y_explicit = Y_trim
+                result.x = jnp.asarray(
+                    Y_trim[:state_height] if implicit else Y_trim,
+                    dtype=config.dtype,
+                )
+                rank = Y_trim.shape[1]
+
+        pres = (
+            _polish(Y_explicit)
+            if result.gradfx_norm <= config.lift_grad_norm
+            else None  # forced finish at max_rank far from criticality:
+            # the polish cannot converge there, certify best-effort
+        )
+        if pres is not None:
+            grad_norm_f64 = pres.grad_norm
+            Y_explicit = pres.Y  # float64 host state
+            f_current = pres.f
+            # fold the polished point back into the device state
+            if implicit:
+                X_pol = jnp.asarray(
+                    pres.Y[:state_height], dtype=config.dtype
+                )
+            else:
+                X_pol = jnp.asarray(pres.Y, dtype=config.dtype)
+            result.x = X_pol
+            result.f = pres.f
+        else:
+            f_current = result.f
+
+        eta = _clamp(f_current * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
         if first_loop:
             eigvec_bootstrap = np.asarray(Y_explicit)
             first_loop = False
@@ -178,9 +335,10 @@ def solve_cora(
             eigvec_bootstrap = cert.all_eigvecs
 
         t_c = time.time()
-        cert = _certify_with_retry(
-            problem, pd, Y_explicit, eta, cert_p, eigvec_bootstrap
-        )
+        with timer("certify"):
+            cert = _certify_with_retry(
+                problem, pd, Y_explicit, eta, cert_p, eigvec_bootstrap
+            )
         vprint(
             f"[t={time.time()-t_start:7.2f}s] Certified: {cert.is_certified} "
             f"(eta={eta:.2e}, theta={cert.theta:.3e}, {cert.num_iters} eig "
@@ -192,7 +350,7 @@ def solve_cora(
 
         if cert.is_certified:
             X = result.x
-            sdp_cost = result.f
+            sdp_cost = f_current
             t_certificate = time.time() - t_start
             break
 
@@ -205,33 +363,47 @@ def solve_cora(
         v = cert.x[: state_height]
         v = v / max(np.linalg.norm(v), 1e-300)
         t_e = time.time()
-        X = saddle_escape(
-            pd, result.x, cert.theta, v, precon,
-            SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose, op=op,
-        )
+        with timer("saddle_escape"):
+            X = saddle_escape(
+                pd, result.x, cert.theta, v, precon,
+                SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose,
+                op=op,
+            )
         vprint(f"[t={time.time()-t_start:7.2f}s] saddle escape took "
                f"{time.time()-t_e:.2f}s")
 
-    sdp_certified = bool(cert.is_certified)
+    sdp_certified = bool(cert.is_certified) if cert is not None else False
 
     # ---- rank-d rounding + refinement (`CORA.cpp:200-233`) ----
     final_cert = cert
     if X.shape[1] > problem.dim:
         vprint(f"\nProjecting solution to rank {problem.dim} and refining")
-        X = project_solution(pd, X, verbose=verbose)
-        result = tnt_solve(
-            pd, X, precon, config.tnt, op=op,
-            log_iterates=config.log_iterates,
-        )
+        with timer("rounding"):
+            X = project_solution(pd, X, verbose=verbose)
+        with timer("tnt_refine"):
+            result = tnt_solve(
+                pd, X, precon, config.tnt, op=op,
+                log_iterates=config.log_iterates,
+            )
         if all_iterates is not None and result.iterates:
             all_iterates.extend(result.iterates)
         if all_iterates is not None:
             result.iterates = all_iterates
+        Y_final = to_explicit(result.x)
+        pres = _polish(Y_final, label="polish_final")
+        if pres is not None:
+            Y_final = pres.Y
+            result.f = pres.f
+            result.x = jnp.asarray(
+                pres.Y[:state_height] if implicit else pres.Y,
+                dtype=config.dtype,
+            )
         vprint(f"FINAL objective {result.f:.6f}")
         eta = _clamp(result.f * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
-        final_cert = _certify_with_retry(
-            problem, pd, to_explicit(result.x), eta, cert_p, eigvec_bootstrap
-        )
+        with timer("certify"):
+            final_cert = _certify_with_retry(
+                problem, pd, Y_final, eta, cert_p, eigvec_bootstrap
+            )
         X = result.x
 
     suboptimality = (
@@ -242,6 +414,8 @@ def solve_cora(
         f"certified: {final_cert.is_certified} | suboptimality bound: "
         f"{suboptimality:.6f}"
     )
+    if verbose:
+        print("\nPhase breakdown:\n" + timer.report())
     if all_iterates is not None and result.iterates is not all_iterates:
         result.iterates = all_iterates
     return CoraResult(
@@ -254,6 +428,8 @@ def solve_cora(
         suboptimality=float(suboptimality),
         final_certified=bool(final_cert.is_certified),
         elapsed_to_certificate=float(t_certificate),
+        grad_norm_f64=float(grad_norm_f64),
+        phases=dict(timer.totals),
     )
 
 

@@ -62,8 +62,9 @@ STATUS_NAMES = {
 }
 
 # statuses that indicate the iteration stalled at the dtype's precision
-# floor short of the gradient tolerance (used by the staircase to decide
-# when a float64 polish pass is worthwhile)
+# floor short of the gradient tolerance (the staircase treats these as
+# "converged as far as this dtype goes" and hands off to the float64
+# polish pass, `cora_tpu.solve.polish`)
 STALL_STATUSES = ("trust_region_collapse", "relative_decrease", "stepsize")
 
 # the while_loop runs in device-resident chunks of this many outer
@@ -81,12 +82,24 @@ def _inner(a, b):
     return jnp.sum(a * b)
 
 
+def _pgrad_norm(grad, pgrad, gradnorm):
+    """M-norm of the preconditioned gradient, √⟨grad, P grad⟩.
+
+    ⟨grad, P grad⟩ > 0 for an SPD preconditioner, but float32
+    catastrophic cancellation at huge gradients (~1e9 at a random
+    init) can produce a negative inner product — which clamped to zero
+    would read as "converged". Fall back to the plain gradient norm in
+    that case so the tolerance test stays meaningful."""
+    inner = _inner(grad, pgrad)
+    return jnp.where(inner > 0, jnp.sqrt(jnp.maximum(inner, 0.0)), gradnorm)
+
+
 def steihaug_toint_tcg(
     grad: jax.Array,
     hess: Callable,
     precon: Callable,
     delta: jax.Array,
-    max_iters: int,
+    max_iters,
     kappa: float,
     theta: float,
 ):
@@ -187,9 +200,10 @@ class _StaticArgs:
     params: tuple  # numeric params as a hashable tuple
 
 
-def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
-               log_iterates: bool = False, max_iters_dynamic=None):
-    """The jit-compiled TNT loop. Returns final state + histories."""
+def _tnt_init(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
+              log_iterates: bool = False):
+    """Build the initial TNT carry (objective/gradient at Y0, empty
+    histories). One compiled program per (shape, params) pair."""
     dtype = Y0.dtype
 
     def f_and_grad(Y):
@@ -204,7 +218,7 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
     f0, grad0, nablaF0 = f_and_grad(Y0)
     gradnorm0 = jnp.sqrt(_inner(grad0, grad0))
     pgrad0 = precon_tangent(Y0, grad0)
-    pgradnorm0 = jnp.sqrt(jnp.maximum(_inner(grad0, pgrad0), 0.0))
+    pgradnorm0 = _pgrad_norm(grad0, pgrad0, gradnorm0)
 
     zeros_h = jnp.zeros((history_len,), dtype)
     izeros_h = jnp.zeros((history_len,), jnp.int32)
@@ -212,18 +226,58 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
         jnp.zeros((history_len,) + Y0.shape, dtype) if log_iterates else None
     )
 
-    # carry: Y, f, grad, nablaF, gradnorm, pgradnorm, Delta, k, status,
-    #        histories (f, gnorm, pgnorm, stepnorm, inner_iters)
-    iter_cap = (
-        jnp.asarray(params.max_iterations, jnp.int32)
-        if max_iters_dynamic is None
-        else jnp.minimum(
-            jnp.asarray(max_iters_dynamic, jnp.int32), params.max_iterations
-        )
+    init_status = jnp.where(
+        gradnorm0 <= params.gradient_tolerance,
+        GRAD_TOL,
+        jnp.where(
+            pgradnorm0 <= params.preconditioned_gradient_tolerance,
+            PRECON_GRAD_TOL,
+            RUNNING,
+        ),
+    ).astype(jnp.int32)
+
+    init_extra = {"iterates": iterates0} if log_iterates else {}
+    return dict(
+        **init_extra,
+        Y=Y0, f=f0, grad=grad0, nablaF=nablaF0,
+        gradnorm=gradnorm0, pgradnorm=pgradnorm0,
+        Delta=jnp.asarray(params.delta0, dtype), k=jnp.zeros((), jnp.int32),
+        status=init_status,
+        dec_streak=jnp.zeros((), jnp.int32), step_streak=jnp.zeros((), jnp.int32),
+        hist_f=zeros_h, hist_g=zeros_h, hist_pg=zeros_h, hist_s=zeros_h,
+        hist_i=izeros_h,
     )
 
+
+def _tnt_chunk(pd, carry, precon, params: TNTParams, op=None,
+               log_iterates: bool = False, iter_cap=None, tcg_cap=None,
+               chunk_end=None):
+    """Advance the TNT while_loop up to `chunk_end` outer iterations.
+
+    `iter_cap` (total outer-iteration budget), `tcg_cap` (inner tCG
+    budget per outer iteration) and `chunk_end` are *dynamic* scalars, so
+    one compiled program serves every cap combination — the staircase
+    re-dispatches the same program for its cheap ramp phase (small tCG
+    budget) and the full-accuracy finish phase, and the host checks the
+    wall-clock cap between chunks (reference `max_computation_time`,
+    `src/CORA.cpp:106`).
+    """
+    dtype = carry["Y"].dtype
+    iter_cap = jnp.minimum(jnp.asarray(iter_cap, jnp.int32), params.max_iterations)
+    tcg_cap = jnp.minimum(jnp.asarray(tcg_cap, jnp.int32), params.max_tcg_iterations)
+    stop_at = jnp.minimum(jnp.asarray(chunk_end, jnp.int32), iter_cap)
+
+    def f_and_grad(Y):
+        nablaF = op(Y) if op is not None else data_matrix_product(pd, Y)
+        f = 0.5 * _inner(Y, nablaF)
+        grad = tangent_space_projection(pd, Y, nablaF)
+        return f, grad, nablaF
+
+    def precon_tangent(Y, V):
+        return tangent_space_projection(pd, Y, precon(V))
+
     def cond(c):
-        return jnp.logical_and(c["k"] < iter_cap, c["status"] == RUNNING)
+        return jnp.logical_and(c["k"] < stop_at, c["status"] == RUNNING)
 
     def body(c):
         Y, f, grad, nablaF = c["Y"], c["f"], c["grad"], c["nablaF"]
@@ -240,7 +294,7 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
             hess,
             prec,
             Delta,
-            params.max_tcg_iterations,
+            tcg_cap,
             params.kappa_fgr,
             params.theta,
         )
@@ -259,7 +313,7 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
 
         gradnorm = jnp.sqrt(_inner(grad_new, grad_new))
         pgrad = precon_tangent(Y_new, grad_new)
-        pgradnorm = jnp.sqrt(jnp.maximum(_inner(grad_new, pgrad), 0.0))
+        pgradnorm = _pgrad_norm(grad_new, pgrad, gradnorm)
 
         # trust-region radius update
         very_successful = rho >= params.eta2
@@ -326,34 +380,16 @@ def _tnt_while(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
             hist_s=hist_s, hist_i=hist_i,
         )
 
-    init_status = jnp.where(
-        gradnorm0 <= params.gradient_tolerance,
-        GRAD_TOL,
-        jnp.where(
-            pgradnorm0 <= params.preconditioned_gradient_tolerance,
-            PRECON_GRAD_TOL,
-            RUNNING,
-        ),
-    ).astype(jnp.int32)
-
-    init_extra = {"iterates": iterates0} if log_iterates else {}
-    init = dict(
-        **init_extra,
-        Y=Y0, f=f0, grad=grad0, nablaF=nablaF0,
-        gradnorm=gradnorm0, pgradnorm=pgradnorm0,
-        Delta=jnp.asarray(params.delta0, dtype), k=jnp.zeros((), jnp.int32),
-        status=init_status,
-        dec_streak=jnp.zeros((), jnp.int32), step_streak=jnp.zeros((), jnp.int32),
-        hist_f=zeros_h, hist_g=zeros_h, hist_pg=zeros_h, hist_s=zeros_h,
-        hist_i=izeros_h,
-    )
-    out = jax.lax.while_loop(cond, body, init)
-    return out
+    return jax.lax.while_loop(cond, body, carry)
 
 
-_tnt_jit = jax.jit(
-    _tnt_while,
+_tnt_init_jit = jax.jit(
+    _tnt_init,
     static_argnames=("precon", "params", "history_len", "op", "log_iterates"),
+)
+_tnt_chunk_jit = jax.jit(
+    _tnt_chunk,
+    static_argnames=("precon", "params", "op", "log_iterates"),
 )
 
 
@@ -365,24 +401,60 @@ def tnt_solve(
     op: Callable | None = None,
     log_iterates: bool = False,
     max_iterations_override: int | None = None,
+    max_tcg_override: int | None = None,
+    max_time: float | None = None,
 ) -> TNTResult:
     """Run TNT to convergence. `precon` maps ambient V → P·V (the tangent
-    projection wrapper is applied internally, reference `CORA.cpp:87-92`)."""
+    projection wrapper is applied internally, reference `CORA.cpp:87-92`).
+
+    The device loop runs in chunks of `CHUNK_ITERS` outer iterations;
+    between chunks the host enforces `max_time` (defaults to
+    `params.max_computation_time`, the reference's 20 s per-rank cap).
+    The iteration caps are dynamic, so every (override) combination at a
+    given state shape reuses one compiled program.
+    """
     params = params or TNTParams()
     t0 = time.time()
     # hashable param container so jit caches per parameter set
-    params_frozen = dataclasses.replace(params)
-    out = _tnt_jit(
-        pd, Y0, precon, HashableParams(params_frozen), params.max_iterations, op,
-        log_iterates,
-        np.int32(max_iterations_override)
-        if max_iterations_override is not None else None,
+    hp = HashableParams(dataclasses.replace(params))
+    iter_cap = min(
+        max_iterations_override or params.max_iterations, params.max_iterations
     )
-    out = jax.device_get(out)
+    tcg_cap = min(
+        max_tcg_override or params.max_tcg_iterations, params.max_tcg_iterations
+    )
+    if max_time is None:
+        max_time = params.max_computation_time
+
+    carry = _tnt_init_jit(
+        pd, Y0, precon, hp, params.max_iterations, op, log_iterates
+    )
+    k = 0
+    status = int(carry["status"])
+    timed_out = False
+    while status == RUNNING and k < iter_cap:
+        chunk_end = min(k + CHUNK_ITERS, iter_cap)
+        carry = _tnt_chunk_jit(
+            pd, carry, precon, hp, op, log_iterates,
+            np.int32(iter_cap), np.int32(tcg_cap), np.int32(chunk_end),
+        )
+        k = int(carry["k"])
+        status = int(carry["status"])
+        if (
+            status == RUNNING and k < iter_cap
+            and max_time is not None
+            and time.time() - t0 > max_time
+        ):
+            timed_out = True
+            break
+
+    out = jax.device_get(carry)
     elapsed = time.time() - t0
 
     k = int(out["k"])
-    status = int(out["status"]) if int(out["status"]) != RUNNING else MAX_ITERS
+    status = int(out["status"])
+    if status == RUNNING:
+        status = TIME_CAP if timed_out else MAX_ITERS
     return TNTResult(
         f=float(out["f"]),
         x=out["Y"],

@@ -91,6 +91,27 @@ class SolverConfig:
     # (`src/CORA.cpp:106`): uncertified low-rank levels don't deserve a
     # full 250-iteration polish, the saddle escape restarts progress anyway
     max_staircase_iterations: int | None = None
+    # tCG budget at ramp (pre-critical) staircase levels; the finish
+    # phase always uses the full `tnt.max_tcg_iterations`. Cheap inner
+    # solves are the right trade far from a critical point, and float32
+    # superlinear endgame accuracy is wasted work — the float64 polish
+    # redoes the last mile anyway.
+    ramp_tcg_iterations: int = 24
+    # |grad| above which a budget-capped level is treated as a ramp level
+    # (lift + continue) instead of entering the finish/certify phase
+    # (see staircase docstring)
+    lift_grad_norm: float = 1e3
+    # ramp lifts add a random column scaled so the objective regresses by
+    # at most ~this fraction of its current value (strong symmetry
+    # breaking far from the optimum, negligible perturbation near it)
+    lift_rel_energy: float = 0.01
+    # host float64 endgame polish before certification
+    # (`cora_tpu.solve.polish`; reference certifies float64 TNT output
+    # converged to 1e-6, `src/CORA.cpp:98-109`)
+    polish: bool = True
+    # None → 1e-6·‖Q‖₂ (the reference's 1e-6 gradient tolerance,
+    # `src/CORA.cpp:100-101`, made scale-invariant)
+    polish_grad_tol: float | None = None
     seed: int = 0
     verbose: bool = False
     log_iterates: bool = False
@@ -149,4 +170,10 @@ class CoraResult:
     suboptimality: float = float("nan")  # f(final) − f(SDP), ≥ 0
     final_certified: bool = False  # rank-d estimate itself certified
     elapsed_to_certificate: float = float("nan")  # seconds to SDP certificate
+    # float64 Riemannian gradient norm at the certified point (NaN when
+    # the polish pass is disabled) — the certificate S ⪰ 0 proves
+    # optimality only together with stationarity, so this is part of the
+    # certificate's evidence
+    grad_norm_f64: float = float("nan")
+    phases: dict | None = None  # wall-clock per solve phase (PhaseTimer)
     iterates: list | None = None
