@@ -31,15 +31,24 @@ import scipy.sparse as sp
 from cora_tpu.graph.data import ProblemData
 
 
+BW_CAP_LRED = 512  # pathological non-banded graphs are rejected
+
+
 def _lred_factor(problem, pd: ProblemData):
     """Factor the reduced translation Laplacian L (last state pinned).
 
-    L's band is the pose-translation chain; landmark columns are Woodbury
-    spikes. Returns a host factor for the device apply (v ↦ L⁻¹v) on
-    (n+l−1)-row blocks. This is a *direct solver* (the implicit
-    formulation needs exactness), so graphs whose translation Laplacian
-    is not banded+spikes under the natural ordering are rejected.
+    Pose-translation nodes form the band under a reverse Cuthill–McKee
+    ordering of their coupling graph (odometry chains + pose↔pose range
+    edges; RCM interleaves multi-robot chains so inter-robot couplings
+    land near the diagonal — the CHOLMOD-ordering analog of the
+    reference, `src/CORA_problem.cpp:714-757`); landmark columns are
+    high-degree Woodbury spikes. Returns a host factor for the device
+    apply (v ↦ L⁻¹v) on (n+l−1)-row blocks. This is a *direct solver*
+    (the implicit formulation needs exactness), so the band is factored
+    with `require_exact` and graphs beyond `BW_CAP_LRED` are rejected.
     """
+    import scipy.sparse.csgraph as csgraph
+
     from cora_tpu.precond import banded as bd
 
     n_tr = pd.num_translations
@@ -50,19 +59,27 @@ def _lred_factor(problem, pd: ProblemData):
     n_band = min(pd.n, n_tr - 1)  # pose translations in the band
     l_sp = (n_tr - 1) - n_band  # remaining landmarks as spikes
 
-    B_band = L[:n_band, :n_band].tocsr()
-    C = L[:n_band, n_band:].toarray() if l_sp else np.zeros((n_band, 0))
+    # fill-reducing ordering of the pose-translation coupling graph
+    A = L[:n_band, :n_band]
+    order = (
+        np.asarray(
+            csgraph.reverse_cuthill_mckee(A.tocsr(), symmetric_mode=True),
+            dtype=np.int64,
+        )
+        if n_band
+        else np.zeros(0, dtype=np.int64)
+    )
+    B_band = A[order][:, order].tocsr()
+    C = L[order, n_band:].toarray() if l_sp else np.zeros((n_band, 0))
     E = L[n_band:, n_band:].toarray() if l_sp else np.zeros((0, 0))
 
-    # actual bandwidth of the translation chain (1 for pure odometry;
-    # pose-pose range edges can widen it)
     coo = sp.tril(B_band).tocoo()
     bw = int((coo.row - coo.col).max()) if coo.nnz else 0
-    if bw > 32:
+    if bw > BW_CAP_LRED:
         raise NotImplementedError(
-            "translation Laplacian is not banded under the odometry "
-            f"ordering (bandwidth {bw}); the implicit formulation "
-            "currently requires chain+landmark structure"
+            "translation Laplacian is not banded even under the RCM "
+            f"ordering (bandwidth {bw} > {BW_CAP_LRED}); the implicit "
+            "formulation requires banded+spikes structure"
         )
     w = max(2 * (bw + 1), 2)
     Lc, Mc, Linv, BinvC, n_dropped, _cb = bd.banded_spd_factor(
@@ -75,9 +92,12 @@ def _lred_factor(problem, pd: ProblemData):
     else:
         cap_inv = np.zeros((0, 0))
 
+    perm = np.concatenate([order, np.arange(n_band, n_tr - 1)])
+    inv_perm = np.empty(n_tr - 1, dtype=np.int64)
+    inv_perm[perm] = np.arange(n_tr - 1)
     return bd.BandedFactorHost(
         q=w, n_blocks=Lc.shape[0], band_len=n_band,
-        perm=np.arange(n_tr - 1), inv_perm=np.arange(n_tr - 1),
+        perm=perm, inv_perm=inv_perm,
         L=Lc, M=Mc, Linv=Linv, s_sph=np.zeros(0),
         BinvC=BinvC, cap_inv=cap_inv, C=C, E=E,
         n_dropped=n_dropped, lam=0.0,
@@ -126,14 +146,18 @@ def _make_lred_apply(F, dtype):
         x = _affine_scan(A_bwd, bmm(LinvT, u), reverse=True)
         return x.reshape(n * q, r)[:nb_len]
 
+    perm = jnp.asarray(F.perm)
+
     def apply(v):  # v: (n_tr - 1, r)
+        v = v[perm]  # RCM band order (landmark tail unchanged)
         rhs_b, rhs_lm = v[:nb_len], v[nb_len:]
         y1 = solve_band(rhs_b)
         if l_sp:
             y2 = bmm(cap_inv, rhs_lm - bmm(C.T, y1))
-            x_b = y1 - bmm(BinvC, y2)
-            return jnp.concatenate([x_b, y2], axis=0)
-        return jnp.concatenate([y1, rhs_lm], axis=0)
+            x = jnp.concatenate([y1 - bmm(BinvC, y2), y2], axis=0)
+        else:
+            x = jnp.concatenate([y1, rhs_lm], axis=0)
+        return jnp.zeros_like(x).at[perm].set(x)
 
     return apply
 

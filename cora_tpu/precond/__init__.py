@@ -49,7 +49,11 @@ def make_preconditioner(
         return jacobi_preconditioner(pd)
     if kind == Preconditioner.BLOCK_JACOBI:
         return block_jacobi_preconditioner(pd)
-    if kind in (Preconditioner.BLOCK_CHOLESKY, Preconditioner.REGULARIZED_CHOLESKY):
+    if kind == Preconditioner.BLOCK_CHOLESKY:
+        from cora_tpu.precond.banded import block_cholesky_preconditioner
+
+        return block_cholesky_preconditioner(problem, pd, dtype=dtype)
+    if kind == Preconditioner.REGULARIZED_CHOLESKY:
         from cora_tpu.precond.banded import banded_cholesky_preconditioner
 
         return banded_cholesky_preconditioner(

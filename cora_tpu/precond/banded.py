@@ -66,6 +66,9 @@ class BandedFactorHost:
     lam: float  # regularization actually used
     cb: np.ndarray | None = None  # LAPACK banded Cholesky factor of B
     # (lower form) — kept for host-side solves (float64 polish precon)
+    # whether the factored matrix couples sphere rows to the band (False
+    # for BlockCholesky, whose sphere block is standalone diagonal)
+    sphere_coupled: bool = True
 
 
 def pose_ordering(pd: ProblemData) -> np.ndarray:
@@ -317,7 +320,11 @@ def host_banded_solve(pd: ProblemData, F: BandedFactorHost, V: np.ndarray) -> np
     r = V.shape[1]
 
     if m:
-        c_val = np.asarray(pd.rng_omega, np.float64) * np.asarray(pd.rng_r, np.float64)
+        c_val = (
+            np.asarray(pd.rng_omega, np.float64)
+            * np.asarray(pd.rng_r, np.float64)
+            * (1.0 if F.sphere_coupled else 0.0)
+        )
         rng_ti = np.asarray(pd.rng_ti)
         rng_tj = np.asarray(pd.rng_tj)
         w_sph = V[sph0:tr0] / F.s_sph[:, None]
@@ -400,8 +407,13 @@ def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Calla
 
     rng_ti = pd.rng_ti
     rng_tj = pd.rng_tj
-    # sphere coupling values: first endpoint −ωr, second +ωr
-    c_val = pd.rng_omega * pd.rng_r
+    # sphere coupling values: first endpoint −ωr, second +ωr (zero when
+    # the factored matrix has no sphere↔band coupling, e.g. BlockCholesky)
+    c_val = (
+        pd.rng_omega * pd.rng_r
+        if F.sphere_coupled
+        else jnp.zeros_like(pd.rng_omega)
+    )
     sph0 = pd.rot_size
     tr0 = pd.rot_size + pd.m
 
@@ -488,6 +500,35 @@ def banded_cholesky_preconditioner(
     Qnorm = estimate_spectral_norm(Q)
     lam = Qnorm / (max_cond - 1.0)
     F = factor_banded(problem, pd, Q, lam)
+    outer_dtype = dtype or pd.dtype()
+    apply = make_device_apply(pd, F, dtype=outer_dtype)
+    apply.n_dropped = F.n_dropped  # type: ignore[attr-defined]
+    return apply
+
+
+def block_cholesky_preconditioner(
+    problem, pd: ProblemData, dtype=None, reg: float = 1e-3
+) -> Callable:
+    """The reference's BlockCholesky: one factorization per variable-type
+    block of Q + 1e-3·I — {rotations (dn), unit spheres (m), translations
+    (n+l)} — with no cross-type coupling (`src/CORA_problem.cpp:513-543`).
+
+    TPU realization: zero the cross-type blocks of Q host-side and run
+    the same banded+Woodbury machinery on the block-diagonal remainder
+    (the sphere block of Q is exactly diagonal, so its "factorization" is
+    the scalar pivot row the sphere-elimination stage already performs;
+    the rotation and translation blocks stay banded under the interleaved
+    pose ordering)."""
+    Q = problem.data_matrix().tocoo()
+    nd = pd.rot_size
+    ndm = nd + pd.m
+    type_of = np.digitize(np.arange(pd.size), [nd, ndm])
+    mask = type_of[Q.row] == type_of[Q.col]
+    Q_bd = sp.csr_matrix(
+        (Q.data[mask], (Q.row[mask], Q.col[mask])), shape=Q.shape
+    )
+    F = dataclasses.replace(factor_banded(None, pd, Q_bd, reg),
+                            sphere_coupled=False)
     outer_dtype = dtype or pd.dtype()
     apply = make_device_apply(pd, F, dtype=outer_dtype)
     apply.n_dropped = F.n_dropped  # type: ignore[attr-defined]

@@ -168,7 +168,7 @@ def certify_solution(
     seed: int = 0,
     rank_deficient_exit: bool = False,
     method: str = "host",
-    eig_tol: float = 1e-8,
+    eig_tol: float = 1e-5,
 ) -> CertResults:
     """Certify Y as a global optimum (reference `certify_solution`).
 

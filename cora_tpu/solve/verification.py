@@ -143,11 +143,14 @@ def verify_psd_host(
             num_eig_iters=0, converged=True,
         )
 
-    # stage 2: find shift c with S + cI PD (θ_min > −c), reuse as OPinv
+    # stage 2: find shift c with S + cI PD (θ_min > −c), reuse as OPinv.
+    # Exponential search with factor 10: each probe costs a sparse
+    # factorization, and shift-invert Lanczos only needs σ = −c *below*
+    # the spectrum, not near it — overshooting is cheap, probing is not.
     c = max(2.0 * eta, 1e-8)
     lu = None
     for _ in range(max_shift_doublings):
-        c *= 2.0
+        c *= 10.0
         n_factor += 1
         ok, lu = try_psd_factor(S + c * eye)
         if ok:

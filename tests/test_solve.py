@@ -102,3 +102,37 @@ def test_certify_rejects_saddle(fixtures_dir):
     cert = certify_solution(problem, pd, res.x, eta=1e-5)
     assert not cert.is_certified
     assert cert.theta < -1e-3
+
+
+def test_block_cholesky_preconditioner_matches_dense(fixtures_dir):
+    """BlockCholesky = blockdiag(Q+1e-3·I per variable type)⁻¹ — the
+    reference's per-variable-type factorization
+    (`src/CORA_problem.cpp:513-543`), NOT an alias of
+    RegularizedCholesky."""
+    from cora_tpu.precond import make_preconditioner
+
+    problem = parse_pyfg(
+        str(fixtures_dir / "small_ra_slam_problem" / "factor_graph.pyfg")
+    )
+    pd = problem.device_data()
+    prec = make_preconditioner(problem, pd, Preconditioner.BLOCK_CHOLESKY)
+
+    Q = problem.data_matrix().toarray()
+    N = pd.size
+    nd, ndm = pd.rot_size, pd.rot_size + pd.m
+    M = np.zeros_like(Q)
+    for lo, hi in ((0, nd), (nd, ndm), (ndm, N)):
+        M[lo:hi, lo:hi] = Q[lo:hi, lo:hi]
+    M += 1e-3 * np.eye(N)
+
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((N, 3))
+    expected = np.linalg.solve(M, V)
+    got = np.asarray(prec(jnp.asarray(V)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-8)
+
+    # and it differs from the RegularizedCholesky apply
+    reg = make_preconditioner(
+        problem, pd, Preconditioner.REGULARIZED_CHOLESKY
+    )
+    assert not np.allclose(np.asarray(reg(jnp.asarray(V))), got)
