@@ -288,6 +288,29 @@ class Problem:
                 )
         return cache[key]
 
+    def sharded_operator(self, mesh, dtype=np.float64):
+        """Cached edge-sharded Q·Y operator over a `jax.sharding.Mesh`.
+
+        State stays replicated; measurement edges are sharded over the
+        mesh's `graph` axis with one psum per application
+        (`cora_tpu.parallel.sharding`). Explicit formulation only — the
+        implicit operator's banded translation solve is replicated math
+        and uses the plain operator path.
+        """
+        from cora_tpu.parallel import sharding as shd
+
+        key = (id(mesh), np.dtype(dtype).name)
+        cache = getattr(self, "_sharded_op_cache", None)
+        if cache is None:
+            cache = self._sharded_op_cache = {}
+        if key not in cache:
+            pd = self.device_data(dtype)
+            pds = shd.shard_problem_data(pd, mesh)
+            op = shd.make_sharded_operator(pds, mesh)
+            op.implicit = None
+            cache[key] = op
+        return cache[key]
+
     def preconditioner_fn(self, kind, dtype=np.float64, max_cond: float = 1e6,
                           device=None):
         """Cached preconditioner apply-closure (same jit-identity reason)."""
@@ -321,3 +344,4 @@ class Problem:
         self._device_data = None
         self._op_cache = None
         self._precon_cache = None
+        self._sharded_op_cache = None

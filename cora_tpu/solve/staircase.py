@@ -100,14 +100,30 @@ def solve_cora(
     config: SolverConfig | None = None,
     verbose: bool | None = None,
     checkpoint_path: str | None = None,
+    mesh=None,
 ) -> CoraResult:
-    """Full certifiable solve of a range-aided SLAM problem."""
+    """Full certifiable solve of a range-aided SLAM problem.
+
+    `mesh`: optional `jax.sharding.Mesh` — runs the whole staircase
+    (TNT, saddle escape, refinement) on the edge-sharded Q·Y operator
+    with replicated state and one psum per Hessian-vector product
+    (`cora_tpu.parallel.sharding`); the preconditioner apply and
+    rounding act on replicated arrays and need no communication.
+    Certification stays on the host float64 path (SURVEY §2.3 —
+    green-field distribution; the reference is single-threaded).
+    """
     config = config or SolverConfig()
     if max_rank is None:
         max_rank = config.max_rank
     if verbose is None:
         verbose = config.verbose
     implicit = config.formulation == Formulation.IMPLICIT
+    if mesh is not None and implicit:
+        raise NotImplementedError(
+            "mesh-distributed solve supports the EXPLICIT formulation "
+            "(the implicit operator's banded translation solve is "
+            "replicated host-factored math; run it without a mesh)"
+        )
 
     def vprint(msg):
         if verbose:
@@ -115,7 +131,11 @@ def solve_cora(
 
     t_start = time.time()
     pd = problem.device_data(dtype=config.dtype)
-    op = problem.operator(config.formulation, dtype=config.dtype)
+    op = (
+        problem.sharded_operator(mesh, dtype=config.dtype)
+        if mesh is not None
+        else problem.operator(config.formulation, dtype=config.dtype)
+    )
     precon_full = problem.preconditioner_fn(
         config.preconditioner, dtype=config.dtype,
         max_cond=config.reg_chol_max_cond,
