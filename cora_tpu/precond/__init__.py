@@ -22,12 +22,77 @@ ambient space; the solver composes it with the tangent projection
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import numpy as np
 
 from cora_tpu.graph.data import ProblemData
 from cora_tpu.types import Preconditioner
+
+
+class PrecondOp:
+    """A preconditioner as (static apply-function, operand pytree).
+
+    ``fn(pd, fac, V) -> P·V`` where ``fac`` is a pytree of device
+    arrays. Solvers pass ``fac`` through jit as an *operand* — not a
+    closure constant — so lowering never embeds (or pulls device→host)
+    megabytes of factor data into the MLIR module, and one compiled
+    program serves every factor of the same shape. Instances are also
+    directly callable (``P(V)``) for non-jit composition.
+    """
+
+    def __init__(self, fn: Callable, fac: Any, pd: ProblemData):
+        self.fn = fn
+        self.fac = fac
+        self.pd = pd
+
+    def __call__(self, V):
+        return self.fn(self.pd, self.fac, V)
+
+
+def _identity_fn(pd, fac, V):
+    return V
+
+
+def _diag_fn(pd, fac, V):
+    return fac * V
+
+
+def _block_jacobi_fn(pd, fac, V):
+    import jax.numpy as jnp
+
+    from cora_tpu.ops.linalg import bmm
+
+    r = V.shape[1]
+    Vrot = V[: pd.rot_size].reshape(pd.n, pd.d, r)
+    Prot = bmm(fac["inv_blocks"], Vrot)
+    return jnp.concatenate(
+        [Prot.reshape(pd.rot_size, r), fac["inv_scalar"] * V[pd.rot_size:]],
+        axis=0,
+    )
+
+
+_IMPL_WRAP_CACHE: dict = {}
+
+
+def implicit_precond(full: "PrecondOp") -> "PrecondOp":
+    """Implicit-formulation wrapper: lift the reduced [rot|sphere] state
+    with zero translations, apply the full preconditioner, truncate
+    (reference `CORA_problem.cpp:869-903`). The wrapped fn is cached per
+    inner fn so jit sees a stable static callable."""
+    fn = _IMPL_WRAP_CACHE.get(full.fn)
+    if fn is None:
+        inner = full.fn
+
+        def fn(pd, fac, V):
+            import jax.numpy as jnp
+
+            pad = jnp.zeros((pd.num_translations, V.shape[1]), V.dtype)
+            lifted = jnp.concatenate([V, pad], axis=0)
+            return inner(pd, fac, lifted)[: pd.rot_range_size]
+
+        _IMPL_WRAP_CACHE[inner] = fn
+    return PrecondOp(fn, full.fac, full.pd)
 
 
 def make_preconditioner(
@@ -62,11 +127,8 @@ def make_preconditioner(
     raise ValueError(f"unknown preconditioner {kind}")
 
 
-def identity_preconditioner() -> Callable:
-    def apply(V):
-        return V
-
-    return apply
+def identity_preconditioner(pd: ProblemData | None = None) -> Callable:
+    return PrecondOp(_identity_fn, None, pd)
 
 
 def jacobi_preconditioner(pd: ProblemData) -> Callable:
@@ -77,11 +139,7 @@ def jacobi_preconditioner(pd: ProblemData) -> Callable:
 
     diag = jacobi_diagonal(pd)
     inv_diag = jnp.where(diag > 0, 1.0 / diag, 1.0)[:, None]
-
-    def apply(V):
-        return inv_diag * V
-
-    return apply
+    return PrecondOp(_diag_fn, inv_diag, pd)
 
 
 def block_jacobi_preconditioner(pd: ProblemData, eps: float = 1e-3) -> Callable:
@@ -116,15 +174,8 @@ def block_jacobi_preconditioner(pd: ProblemData, eps: float = 1e-3) -> Callable:
     diag = jacobi_diagonal(pd)
     scalar_part = diag[pd.rot_size:]
     inv_scalar = jnp.where(scalar_part > 0, 1.0 / (scalar_part + eps), 1.0)[:, None]
-
-    def apply(V):
-        r = V.shape[1]
-        Vrot = V[: pd.rot_size].reshape(n, d, r)
-        from cora_tpu.ops.linalg import bmm
-
-        Prot = bmm(inv_blocks, Vrot)
-        return jnp.concatenate(
-            [Prot.reshape(pd.rot_size, r), inv_scalar * V[pd.rot_size:]], axis=0
-        )
-
-    return apply
+    return PrecondOp(
+        _block_jacobi_fn,
+        {"inv_blocks": inv_blocks, "inv_scalar": inv_scalar},
+        pd,
+    )

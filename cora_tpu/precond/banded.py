@@ -374,50 +374,67 @@ def estimate_spectral_norm(Q: sp.spmatrix, tol: float = 1e-2) -> float:
         return float(abs(x @ (Q @ x)))
 
 
-def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Callable:
-    """Compile the factorization into a device apply-function V ↦ M⁻¹V.
+def device_factor(pd: ProblemData, F: BandedFactorHost, dtype=None):
+    """Device-array pytree of the factorization for `banded_apply`.
 
-    The preconditioner only shapes the tCG search space, so it may run in
-    float32 even when the outer iteration is float64.
+    The returned dict is a plain pytree, so it can be passed as a traced
+    argument into jitted programs (e.g. the certification eigensolver) —
+    a new factor per staircase level reuses one compiled program as long
+    as shapes match.
     """
     import jax.numpy as jnp
-    from jax import lax
 
     dtype = dtype or pd.dtype()
-    n, q, l, m = F.n_blocks, F.q, pd.l, pd.m
-    nq = F.band_len  # true band length; the scan works on n*q ≥ nq padded rows
-    nq_pad = n * q
-
-    Linv = jnp.asarray(F.Linv, dtype)
-    LinvT = jnp.asarray(np.swapaxes(F.Linv, 1, 2), dtype)
-    # forward recurrence u_i = A_i u_{i-1} + c_i with A_i = −L_i⁻¹ M_i
-    A_fwd = jnp.asarray(-np.einsum("nab,nbc->nac", F.Linv, F.M), dtype)
-    # backward recurrence x_i = A'_i x_{i+1} + c'_i with A'_i = −L_i⁻ᵀ M_{i+1}ᵀ
+    n = F.n_blocks
     Mshift = np.zeros_like(F.M)
     if n > 1:
         Mshift[:-1] = np.swapaxes(F.M[1:], 1, 2)
-    A_bwd = jnp.asarray(-np.einsum("nab,nbc->nac", np.swapaxes(F.Linv, 1, 2), Mshift), dtype)
-
-    perm = jnp.asarray(F.perm)
-    inv_perm = jnp.asarray(F.inv_perm)
-    s_sph = jnp.asarray(F.s_sph, dtype)
-    BinvC = jnp.asarray(F.BinvC, dtype)
-    cap_inv = jnp.asarray(F.cap_inv, dtype)
-    C = jnp.asarray(F.C, dtype)
-
-    rng_ti = pd.rng_ti
-    rng_tj = pd.rng_tj
-    # sphere coupling values: first endpoint −ωr, second +ωr (zero when
-    # the factored matrix has no sphere↔band coupling, e.g. BlockCholesky)
     c_val = (
-        pd.rng_omega * pd.rng_r
+        np.asarray(pd.rng_omega) * np.asarray(pd.rng_r)
         if F.sphere_coupled
-        else jnp.zeros_like(pd.rng_omega)
+        else np.zeros(pd.m)
     )
-    sph0 = pd.rot_size
-    tr0 = pd.rot_size + pd.m
+    return dict(
+        Linv=jnp.asarray(F.Linv, dtype),
+        LinvT=jnp.asarray(np.swapaxes(F.Linv, 1, 2), dtype),
+        # forward recurrence u_i = A_i u_{i-1} + c_i with A_i = −L_i⁻¹ M_i
+        A_fwd=jnp.asarray(-np.einsum("nab,nbc->nac", F.Linv, F.M), dtype),
+        # backward recurrence x_i = A'_i x_{i+1} + c'_i, A'_i = −L_i⁻ᵀ M_{i+1}ᵀ
+        A_bwd=jnp.asarray(
+            -np.einsum("nab,nbc->nac", np.swapaxes(F.Linv, 1, 2), Mshift),
+            dtype,
+        ),
+        perm=jnp.asarray(F.perm),
+        s_sph=jnp.asarray(F.s_sph, dtype),
+        BinvC=jnp.asarray(F.BinvC, dtype),
+        cap_inv=jnp.asarray(F.cap_inv, dtype),
+        C=jnp.asarray(F.C, dtype),
+        # sphere coupling values: first endpoint −ωr, second +ωr (zero
+        # when the factored matrix has no sphere↔band coupling)
+        c_val=jnp.asarray(c_val, dtype),
+    )
+
+
+def banded_apply(pd: ProblemData, fac: dict, V):
+    """V ↦ M⁻¹V from a `device_factor` pytree (functional form of the
+    banded + Woodbury solve; log-depth associative scans)."""
+    import jax.numpy as jnp
+    from jax import lax
 
     from cora_tpu.ops.linalg import bmm
+
+    Linv = fac["Linv"]
+    dtype = Linv.dtype
+    n, q = Linv.shape[0], Linv.shape[1]
+    nq = fac["C"].shape[0]  # true band length (static: array shape)
+    nq_pad = n * q
+    l, m = pd.l, pd.m
+    perm = fac["perm"]
+    s_sph, c_val = fac["s_sph"], fac["c_val"]
+    BinvC, cap_inv, C = fac["BinvC"], fac["cap_inv"], fac["C"]
+    rng_ti, rng_tj = pd.rng_ti, pd.rng_tj
+    sph0 = pd.rot_size
+    tr0 = pd.rot_size + pd.m
 
     def _affine_scan(A, c, reverse=False):
         def combine(x, y):
@@ -436,59 +453,69 @@ def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None) -> Calla
         pad = jnp.zeros((nq_pad - nq, r), b.dtype)
         bb = jnp.concatenate([b, pad], axis=0).reshape(n, q, r)
         c_fwd = bmm(Linv, bb)
-        u = _affine_scan(A_fwd, c_fwd)
-        c_bwd = bmm(LinvT, u)
-        x = _affine_scan(A_bwd, c_bwd, reverse=True)
+        u = _affine_scan(fac["A_fwd"], c_fwd)
+        c_bwd = bmm(fac["LinvT"], u)
+        x = _affine_scan(fac["A_bwd"], c_bwd, reverse=True)
         return x.reshape(nq_pad, r)[:nq]
 
-    def apply(V):
-        V = V.astype(dtype)
-        r = V.shape[1]
-        # 1) sphere forward elimination
-        if m:
-            v_sph = V[sph0:sph0 + m]
-            w_sph = v_sph / s_sph[:, None]
-            # rhs_bl = v_bl − C_s w_sph : scatter −c_i w, +c_j w onto translations
-            corr = jnp.zeros((pd.num_translations, r), dtype)
-            cw = c_val[:, None] * w_sph
-            corr = corr.at[rng_ti].add(-cw)
-            corr = corr.at[rng_tj].add(cw)
-            # C_s rows are translation rows only; subtract C_s w from V there
-            V_bl_orig = jnp.concatenate(
-                [V[:sph0], V[tr0:] - corr], axis=0
-            )  # [rot | translations(+landmarks)] in ORIGINAL order sans spheres
-        else:
-            V_bl_orig = jnp.concatenate([V[:sph0], V[tr0:]], axis=0)
+    V = V.astype(dtype)
+    r = V.shape[1]
+    # 1) sphere forward elimination
+    if m:
+        v_sph = V[sph0:sph0 + m]
+        w_sph = v_sph / s_sph[:, None]
+        # rhs_bl = v_bl − C_s w_sph : scatter −c_i w, +c_j w onto translations
+        corr = jnp.zeros((pd.num_translations, r), dtype)
+        cw = c_val[:, None] * w_sph
+        corr = corr.at[rng_ti].add(-cw)
+        corr = corr.at[rng_tj].add(cw)
+        # C_s rows are translation rows only; subtract C_s w from V there
+        V_bl_orig = jnp.concatenate(
+            [V[:sph0], V[tr0:] - corr], axis=0
+        )  # [rot | translations(+landmarks)] in ORIGINAL order sans spheres
+    else:
+        V_bl_orig = jnp.concatenate([V[:sph0], V[tr0:]], axis=0)
 
-        # permute into band∪landmark order: perm maps permuted row -> original
-        # row index in the FULL state; convert to the sphere-less stacking
-        full = jnp.zeros((pd.size, r), dtype)
-        full = full.at[:sph0].set(V_bl_orig[:sph0])
-        full = full.at[tr0:].set(V_bl_orig[sph0:])
-        v_bl = full[perm]
+    # permute into band∪landmark order: perm maps permuted row -> original
+    # row index in the FULL state; convert to the sphere-less stacking
+    full = jnp.zeros((pd.size, r), dtype)
+    full = full.at[:sph0].set(V_bl_orig[:sph0])
+    full = full.at[tr0:].set(V_bl_orig[sph0:])
+    v_bl = full[perm]
 
-        rhs_b, rhs_lm = v_bl[:nq], v_bl[nq:]
-        y1 = solve_B(rhs_b)
-        if l:
-            y2 = bmm(cap_inv, rhs_lm - bmm(C.T, y1))
-            x_b = y1 - bmm(BinvC, y2)
-            x_lm = y2
-        else:
-            x_b, x_lm = y1, rhs_lm
-        x_bl = jnp.concatenate([x_b, x_lm], axis=0)
+    rhs_b, rhs_lm = v_bl[:nq], v_bl[nq:]
+    y1 = solve_B(rhs_b)
+    if l:
+        y2 = bmm(cap_inv, rhs_lm - bmm(C.T, y1))
+        x_b = y1 - bmm(BinvC, y2)
+        x_lm = y2
+    else:
+        x_b, x_lm = y1, rhs_lm
+    x_bl = jnp.concatenate([x_b, x_lm], axis=0)
 
-        # un-permute back to the full state
-        out = jnp.zeros((pd.size, r), dtype)
-        out = out.at[perm].set(x_bl)
+    # un-permute back to the full state
+    out = jnp.zeros((pd.size, r), dtype)
+    out = out.at[perm].set(x_bl)
 
-        # 2) sphere back-substitution
-        if m:
-            x_tr = out[tr0:]
-            xs = (V[sph0:sph0 + m] - c_val[:, None] * (x_tr[rng_tj] - x_tr[rng_ti])) / s_sph[:, None]
-            out = out.at[sph0:sph0 + m].set(xs)
-        return out
+    # 2) sphere back-substitution
+    if m:
+        x_tr = out[tr0:]
+        xs = (V[sph0:sph0 + m] - c_val[:, None] * (x_tr[rng_tj] - x_tr[rng_ti])) / s_sph[:, None]
+        out = out.at[sph0:sph0 + m].set(xs)
+    return out
 
-    return apply
+
+def make_device_apply(pd: ProblemData, F: BandedFactorHost, dtype=None):
+    """The factorization as a `PrecondOp`: V ↦ M⁻¹V with the factor
+    arrays as a jit *operand* pytree (`device_factor`), so solver
+    programs never embed them as MLIR constants.
+
+    The preconditioner only shapes the tCG search space, so it may run in
+    float32 even when the outer iteration is float64.
+    """
+    from cora_tpu.precond import PrecondOp
+
+    return PrecondOp(banded_apply, device_factor(pd, F, dtype), pd)
 
 
 def banded_cholesky_preconditioner(

@@ -97,7 +97,8 @@ _lam_jit = jax.jit(compute_lambda_blocks)
 
 
 @partial(jax.jit, static_argnames=("it1", "it2", "tol"))
-def _cert_eig_device(pd, Y, Lam_rot, lam_sph, X0, eta, it1, it2, tol):
+def _cert_eig_device(pd, Y, Lam_rot, lam_sph, X0, eta, it1, it2, tol,
+                     bfac=None):
     """Minimum eigenpair of S = Q − Λ via the two-stage LOBPCG cascade,
     compiled as ONE device program with η as a dynamic argument (the
     staircase calls this once per rank level and again on each η-doubling
@@ -105,8 +106,11 @@ def _cert_eig_device(pd, Y, Lam_rot, lam_sph, X0, eta, it1, it2, tol):
 
     Mirrors `fast_verification` stages 3–4 (`CORA_utils.cpp:90-176`):
     stage 1 unpreconditioned with a 1% budget + early stop on clearly
-    negative curvature, stage 2 Jacobi-preconditioned (the reference uses
-    a host ILDL; a clamped diagonal keeps the whole test on device).
+    negative curvature, stage 2 preconditioned with the remaining budget.
+    The stage-2 preconditioner is the banded+Woodbury factor of S + σI
+    when one exists (`bfac`, passed as a traced pytree so each staircase
+    level reuses this compiled program) — the ILDL analog of
+    `CORA_utils.cpp:128-176` — and a clamped Jacobi diagonal otherwise.
     """
     eta = jnp.asarray(eta, Y.dtype)
 
@@ -122,21 +126,29 @@ def _cert_eig_device(pd, Y, Lam_rot, lam_sph, X0, eta, it1, it2, tol):
         M_op, X0, it1, tol=tol, nev=1, early_stop_below=eta / 2.0
     )
 
-    # stage 2: Jacobi-preconditioned with the remaining budget. Runs
+    # stage 2: preconditioned with the remaining budget. Runs
     # unconditionally (same compiled program either way); if stage 1
     # already found negative curvature the early-stop fires on the first
     # body iteration, costing one cheap (N,3k) block step.
-    diagS = jacobi_diagonal(pd)
-    diag_rot = (
-        jnp.diagonal(Lam_rot, axis1=-2, axis2=-1).reshape(-1)
-        if pd.n
-        else jnp.zeros((0,), Y.dtype)
-    )
-    lam_diag = jnp.concatenate(
-        [diag_rot, lam_sph, jnp.zeros((pd.num_translations,), Y.dtype)]
-    )
-    diagM = diagS - lam_diag + eta
-    inv_diag = jnp.where(jnp.abs(diagM) > 1e-8, 1.0 / jnp.abs(diagM), 1.0)[:, None]
+    if bfac is not None:
+        from cora_tpu.precond.banded import banded_apply
+
+        precon = lambda V: banded_apply(pd, bfac, V)
+    else:
+        diagS = jacobi_diagonal(pd)
+        diag_rot = (
+            jnp.diagonal(Lam_rot, axis1=-2, axis2=-1).reshape(-1)
+            if pd.n
+            else jnp.zeros((0,), Y.dtype)
+        )
+        lam_diag = jnp.concatenate(
+            [diag_rot, lam_sph, jnp.zeros((pd.num_translations,), Y.dtype)]
+        )
+        diagM = diagS - lam_diag + eta
+        inv_diag = jnp.where(
+            jnp.abs(diagM) > 1e-8, 1.0 / jnp.abs(diagM), 1.0
+        )[:, None]
+        precon = lambda V: inv_diag * V
 
     _, X2, k2, _ = lobpcg_min(
         M_op,
@@ -144,7 +156,7 @@ def _cert_eig_device(pd, Y, Lam_rot, lam_sph, X0, eta, it1, it2, tol):
         it2,
         tol=tol,
         nev=1,
-        precon=lambda V: inv_diag * V,
+        precon=precon,
         early_stop_below=eta / 2.0,
     )
 
@@ -178,6 +190,14 @@ def certify_solution(
     CHOLMOD + ILDL-LOBPCG analog of `src/CORA_utils.cpp:17-186`.
     `method="device"` keeps the whole test on device with the two-stage
     LOBPCG (TPU-only operation; weaker convergence at θ ~ 1e-5 scales).
+    `method="auto"` (what the staircase uses): the PSD *decision* is
+    always the exact float64 banded Cholesky of S + ηI when the graph's
+    band is exact (every reference dataset) — rigor identical to the
+    host path — but on a NOT-PD verdict the negative-curvature eigvec
+    for the saddle escape comes from the fast banded-preconditioned
+    device LOBPCG instead of host ARPACK (the escape direction needs no
+    certification-grade accuracy). Falls back to the host cascade when
+    the band is inexact.
     """
     Y = jnp.asarray(Y)
     N = pd.size
@@ -270,18 +290,28 @@ def certify_solution(
             num_iters=hv.num_eig_iters,
         )
 
-    # --- device path: factored-operator LOBPCG cascade, stays on TPU ---
+    # --- device path: factored-operator LOBPCG cascade, stays on TPU.
+    # Runs in the problem's device dtype (float32 staircase: the escape
+    # eigenvector and the method="device" Ritz value need no float64;
+    # TPU v5e has no native f64) ---
+    Y_host64 = np.asarray(Y, np.float64)  # decision stays float64
+    Y = jnp.asarray(Y_host64, pd.dtype())
     lam_blocks = _lam_jit(pd, Y)
 
     psd_known = False
+    band_inexact = not pd.n
+    bfac = None
     if pd.n:
-        try:
-            from cora_tpu.precond.banded import factor_banded
-            from cora_tpu.solve.verification import certificate_matrix_host
+        from cora_tpu.precond.banded import (
+            device_factor,
+            factor_banded,
+        )
+        from cora_tpu.solve.verification import certificate_matrix_host
 
-            S_sparse = certificate_matrix_host(
-                pd, problem.data_matrix(), np.asarray(Y)
-            )
+        S_sparse = certificate_matrix_host(
+            pd, problem.data_matrix(), Y_host64
+        )
+        try:
             factor_banded(problem, pd, S_sparse, eta, require_exact=True)
             return CertResults(
                 is_certified=True,
@@ -293,10 +323,32 @@ def certify_solution(
         except np.linalg.LinAlgError:
             psd_known = True  # definitively NOT PSD; LOBPCG finds the eigvec
         except ValueError:
-            pass  # band inexact: fall through to the eigensolver decision
+            band_inexact = True  # eigensolver must make the decision
+
+        # stage-2 preconditioner: banded factor of S + σI, σ escalated
+        # until PD (the ILDL analog of `CORA_utils.cpp:128-176`; the
+        # shift only weakens — never invalidates — the preconditioner)
+        sigma = max(eta, 1e-6)
+        for _ in range(12):
+            try:
+                F_pre = factor_banded(problem, pd, S_sparse, sigma)
+                bfac = device_factor(pd, F_pre, dtype=pd.dtype())
+                break
+            except np.linalg.LinAlgError:
+                sigma *= 16.0
+
+    if method == "auto" and band_inexact:
+        # the banded decision procedure is unavailable: delegate the
+        # whole test to the rigorous host float64 cascade
+        return certify_solution(
+            problem, pd, Y_host64, eta, nx=nx,
+            eigvec_bootstrap=eigvec_bootstrap,
+            max_lobpcg_iters=max_lobpcg_iters, tol=tol, seed=seed,
+            method="host", eig_tol=eig_tol,
+        )
 
     rng = np.random.default_rng(seed)
-    X0 = rng.standard_normal((N, num_eigvecs)).astype(np.asarray(Y).dtype)
+    X0 = rng.standard_normal((N, num_eigvecs)).astype(pd.dtype())
     if eigvec_bootstrap is not None:
         boot = np.asarray(eigvec_bootstrap)
         if boot.ndim == 1:
@@ -309,7 +361,8 @@ def certify_solution(
     it2 = max_lobpcg_iters - it1
     theta, x, X_blk, iters, resnorm = jax.device_get(
         _cert_eig_device(
-            pd, Y, lam_blocks[0], lam_blocks[1], X0, eta, it1, it2, tol
+            pd, Y, lam_blocks[0], lam_blocks[1], X0, eta, it1, it2, tol,
+            bfac=bfac,
         )
     )
     theta = float(theta)

@@ -12,13 +12,15 @@ the host, preconditioned by an exact sparse factorization of Q + λI —
 the same regularized-Cholesky scheme as the device preconditioner
 (`src/CORA_problem.cpp:544-614`), realized with SuperLU.
 
-Why host/numpy instead of the device TNT in float64: the single-chip TPU
-(v5e) has no native f64, and this is a few dozen iterations on an
-already-near-critical point — sparse mat-vecs at this scale are
-microseconds on the host and need zero XLA compilation. The math mirrors
-`cora_tpu.ops.riemannian` exactly (same formulas, reference
-`src/CORA_problem.cpp:742-938`), so the polished point is a stationary
-point of the same objective the device solver optimized.
+Why the host CPU instead of the device TNT in float64: the single-chip
+TPU (v5e) has no native f64, and this is a handful of Newton iterations
+on an already-near-critical point. The hot path (the whole damped-Newton
+CG solve and the Armijo probes) runs as jitted XLA:CPU float64 programs
+over the same `cora_tpu.ops.riemannian` kernels the device solver uses
+(reference math `src/CORA_problem.cpp:742-938`), so the polished point
+is a stationary point of the same objective the device solver optimized;
+a numpy mirror of the manifold calculus is kept below as the
+specification and golden-test oracle.
 """
 
 from __future__ import annotations
@@ -223,6 +225,108 @@ def _newton_cg(grad, hess, precon, max_iters, kappa=0.25, theta=1.0):
     return s, max_iters
 
 
+# ---------------------------------------------------------------------------
+# jitted float64 CPU kernels: the whole Newton-CG inner solve and the
+# line-search probes run as XLA:CPU programs (the numpy mirror above is
+# kept for golden tests and as the math specification; per-call numpy
+# dispatch on batched (n,d,r) ops costs ~1-2 ms each, which dominated the
+# polish at ~1.3 s/solve — the jitted path runs the same math in ~0.1 ms)
+# ---------------------------------------------------------------------------
+
+def _cpu_device():
+    import jax
+
+    return jax.devices("cpu")[0]
+
+
+def _jax_polish_kernels(problem, max_cond: float):
+    """(pd64, newton_step, probe) jitted on the host CPU backend; cached
+    on the problem (jit specializes on closure identity)."""
+    cache = getattr(problem, "_polish_jax_cache", None)
+    if cache is not None and cache[0] == max_cond:
+        return cache[1]
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from cora_tpu.ops.quadratic import data_matrix_product
+    from cora_tpu.ops.riemannian import (
+        project_to_manifold as jproj,
+        riemannian_hvp,
+        tangent_space_projection,
+    )
+    from cora_tpu.types import Preconditioner
+
+    cpu = _cpu_device()
+    pd64 = problem.device_data(dtype=np.float64, device=cpu)
+    precon_raw = problem.preconditioner_fn(
+        Preconditioner.REGULARIZED_CHOLESKY, dtype=np.float64,
+        max_cond=max_cond, device=cpu,
+    )
+
+    @partial(jax.jit, static_argnames=("max_cg",))
+    def newton_step(Y, tau, max_cg):
+        """f/grad at Y plus the damped-Newton direction s from a
+        preconditioned-CG solve of (Hess + τI)s = −grad (negative
+        curvature truncation, superlinear forcing term)."""
+        nablaF = data_matrix_product(pd64, Y)
+        f = 0.5 * jnp.vdot(Y, nablaF)
+        grad = tangent_space_projection(pd64, Y, nablaF)
+        gn = jnp.linalg.norm(grad)
+
+        def hess(v):
+            return riemannian_hvp(pd64, Y, nablaF, v) + tau * v
+
+        def prec(v):
+            return tangent_space_projection(pd64, Y, precon_raw(v))
+
+        z0 = prec(grad)
+        rz0 = jnp.vdot(grad, z0)
+        rz_stop = rz0 * jnp.minimum(0.25, jnp.sqrt(rz0)) ** 2
+        tiny = jnp.finfo(jnp.float64).tiny
+
+        def cond(c):
+            s, r, z, d, rz, k, done = c
+            return jnp.logical_and(k < max_cg, jnp.logical_not(done))
+
+        def body(c):
+            s, r, z, d, rz, k, done = c
+            Hd = hess(d)
+            dHd = jnp.vdot(d, Hd)
+            neg = dHd <= 0
+            alpha = rz / jnp.where(dHd == 0, tiny, dHd)
+            s_new = jnp.where(neg, jnp.where(k == 0, d, s), s + alpha * d)
+            r_new = r + alpha * Hd
+            z_new = prec(r_new)
+            rz_new = jnp.vdot(r_new, z_new)
+            conv = rz_new <= rz_stop
+            beta = rz_new / jnp.where(rz == 0, tiny, rz)
+            d_new = -z_new + beta * d
+            done_new = jnp.logical_or(neg, conv)
+            return (s_new, r_new, z_new, d_new, rz_new, k + 1, done_new)
+
+        s0 = jnp.zeros_like(grad)
+        init = (s0, grad, z0, -z0, rz0, jnp.zeros((), jnp.int32), rz0 <= 0)
+        s, _, _, _, _, k_cg, _ = jax.lax.while_loop(cond, body, init)
+        gdir = jnp.vdot(grad, s)
+        # fall back to preconditioned steepest descent if not a descent dir
+        s = jnp.where(gdir < 0, s, -z0)
+        gdir = jnp.where(gdir < 0, gdir, -rz0)
+        return f, grad, gn, s, gdir, k_cg
+
+    @jax.jit
+    def probe(Y, s, alpha):
+        """Armijo probe: retract and evaluate f."""
+        Y_prop = jproj(pd64, Y + alpha * s)
+        f_prop = 0.5 * jnp.vdot(Y_prop, data_matrix_product(pd64, Y_prop))
+        return Y_prop, f_prop
+
+    kernels = (pd64, newton_step, probe)
+    problem._polish_jax_cache = (max_cond, kernels)
+    return kernels
+
+
 def polish_solution(
     problem,
     pd,
@@ -246,52 +350,49 @@ def polish_solution(
     Newton-CG (immediate negative-curvature truncations) at the SDP
     endgame.
 
+    The inner math runs as jitted XLA:CPU float64 programs (whole CG
+    solve in one dispatch); the numpy mirror above is the specification
+    and the golden-test oracle.
+
     `grad_tol` defaults to 1e-6·‖Q‖₂ — the reference's 1e-6 gradient
     tolerance (`src/CORA.cpp:100-101`) expressed scale-invariantly.
     """
-    Q = problem.data_matrix()  # float64 CSR
-    precon = _host_precon(problem, pd, max_cond)
+    import jax
+    import jax.numpy as jnp
+
     if grad_tol is None:
         grad_tol = 1e-6 * max(1.0, _q_norm(problem))
-    Y = project_to_manifold(pd, np.asarray(Y, np.float64))
+    pd64, newton_step, probe = _jax_polish_kernels(problem, max_cond)
+    cpu = _cpu_device()
+    with jax.default_device(cpu):
+        from cora_tpu.ops.riemannian import project_to_manifold as _jp
+
+        Y = _jp(pd64, jnp.asarray(np.asarray(Y, np.float64)))
     t0 = time.time()
 
-    def f_and_grad(Y):
-        nablaF = Q @ Y
-        f = 0.5 * float(np.vdot(Y, nablaF))
-        grad = tangent_project(pd, Y, nablaF)
-        return f, grad, nablaF
-
-    f, grad, nablaF = f_and_grad(Y)
-    gn = float(np.linalg.norm(grad))
+    f = float("nan")
+    gn = float("inf")
     status = "max_iterations"
     k = 0
     for k in range(1, max_iterations + 1):
-        if gn <= grad_tol:
-            status = "gradient_tolerance"
-            break
         if time_budget is not None and time.time() - t0 > time_budget:
             status = "time_budget"
             break
+        gn_prev = gn
+        f_, grad, gn_, s, gdir, _ = newton_step(
+            Y, jnp.minimum(1.0, gn_prev if np.isfinite(gn_prev) else 1.0),
+            max_tcg_iterations,
+        )
+        f, gn = float(f_), float(gn_)
+        if gn <= grad_tol:
+            status = "gradient_tolerance"
+            break
 
-        tau = min(1.0, gn)
-
-        def hess(v):
-            return hessian_vector_product(pd, Q, Y, nablaF, v) + tau * v
-
-        def prec(v):
-            return tangent_project(pd, Y, precon(v))
-
-        s, _ = _newton_cg(grad, hess, prec, max_tcg_iterations)
-        gdir = float(np.vdot(grad, s))
-        if gdir >= 0:  # not a descent direction: steepest descent
-            s = -prec(grad)
-            gdir = float(np.vdot(grad, s))
-
+        gdir = float(gdir)
         alpha, accepted = 1.0, False
         for _ in range(40):
-            Y_prop = project_to_manifold(pd, Y + alpha * s)
-            f_prop, grad_prop, nablaF_prop = f_and_grad(Y_prop)
+            Y_prop, f_prop = probe(Y, s, alpha)
+            f_prop = float(f_prop)
             if f_prop <= f + 1e-4 * alpha * gdir or f_prop < f:
                 accepted = True
                 break
@@ -299,11 +400,16 @@ def polish_solution(
         if not accepted:
             status = "line_search_failure"
             break
-        Y, f, grad, nablaF = Y_prop, f_prop, grad_prop, nablaF_prop
-        gn = float(np.linalg.norm(grad))
+        Y = Y_prop
+        f = f_prop
     else:
         k = max_iterations
 
+    # final f/grad at the accepted point
+    f_, _, gn_, _, _, _ = newton_step(Y, jnp.asarray(1.0), 1)
+    f, gn = float(f_), float(gn_)
     if gn <= grad_tol:
         status = "gradient_tolerance"
-    return PolishResult(Y=Y, f=f, grad_norm=gn, iterations=k, status=status)
+    return PolishResult(
+        Y=np.asarray(Y), f=f, grad_norm=gn, iterations=k, status=status
+    )

@@ -39,12 +39,14 @@ N_ALPHAS = 24  # α ladder: alpha0 / 2^k, k = 0..N_ALPHAS-1
 
 
 @partial(jax.jit, static_argnames=("precon", "op"))
-def _trial_ladder(pd, Y_aug, Ydot, alphas, precon, op):
+def _trial_ladder(pd, Y_aug, Ydot, alphas, pfac, precon, op):
     """Evaluate all ±α trial points in one device program.
 
     Returns (f, grad_norm, pgrad_norm) for each signed trial, shaped
     (2·N_ALPHAS,): index 2k is +α_k, 2k+1 is −α_k (preserving the
-    reference's preference for larger steps first).
+    reference's preference for larger steps first). `precon` is the
+    static (pd, fac, V) apply-function with its factor `pfac` passed as
+    an operand (`cora_tpu.precond.PrecondOp`).
     """
 
     def fval(Z):
@@ -60,7 +62,7 @@ def _trial_ladder(pd, Y_aug, Ydot, alphas, precon, op):
         f_test, QZ = fval(Y_test)
         grad = tangent_space_projection(pd, Y_test, QZ)
         grad_norm = jnp.linalg.norm(grad)
-        pgrad = tangent_space_projection(pd, Y_test, precon(grad))
+        pgrad = tangent_space_projection(pd, Y_test, precon(pd, pfac, grad))
         pgrad_norm = jnp.linalg.norm(pgrad)
         return f_test, grad_norm, pgrad_norm
 
@@ -103,7 +105,10 @@ def saddle_escape(
         alpha0 * 0.5 ** np.arange(N_ALPHAS), dtype=Y.dtype
     )
 
-    signed, f, gn, pgn = _trial_ladder(pd, Y_aug, Ydot, alphas, precon, op)
+    from cora_tpu.solve.tnt import _normalize_precon
+
+    pfn, pfac = _normalize_precon(precon)
+    signed, f, gn, pgn = _trial_ladder(pd, Y_aug, Ydot, alphas, pfac, pfn, op)
     f = np.asarray(f)
     gn = np.asarray(gn)
     pgn = np.asarray(pgn)

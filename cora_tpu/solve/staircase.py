@@ -142,22 +142,17 @@ def solve_cora(
     )
     if implicit:
         # lift → full preconditioner → truncate (reference
-        # `CORA_problem.cpp:869-903`); cached for jit closure identity
-        cache = getattr(problem, "_impl_precon_cache", None)
-        if cache is None:
-            cache = problem._impl_precon_cache = {}
-        key = (config.preconditioner, np.dtype(config.dtype).name,
-               config.reg_chol_max_cond)
-        if key not in cache:
-            def _impl_precon(V, _full=precon_full, _pd=pd):
-                pad = jnp.zeros((_pd.num_translations, V.shape[1]), V.dtype)
-                return _full(jnp.concatenate([V, pad], axis=0))[
-                    : _pd.rot_range_size
-                ]
-            cache[key] = _impl_precon
-        precon = cache[key]
+        # `CORA_problem.cpp:869-903`)
+        from cora_tpu.precond import implicit_precond
+
+        precon = implicit_precond(precon_full)
     else:
         precon = precon_full
+    # explicit single-device solves use the pd-argument operator path
+    # inside TNT (op=None): the problem arrays travel as jit operands,
+    # not closure constants — smaller modules, no device→host constant
+    # pulls at lowering, one compiled program per shape
+    solver_op = None if (not implicit and mesh is None) else op
     cert_p = config.cert
 
     ckpt = None
@@ -249,7 +244,7 @@ def solve_cora(
         vprint(f"\n[t={time.time()-t_start:7.2f}s] Solving problem at rank {rank}")
         with timer("tnt_ramp"):
             result = tnt_solve(
-                pd, X, precon, config.tnt, op=op,
+                pd, X, precon, config.tnt, op=solver_op,
                 log_iterates=config.log_iterates,
                 max_iterations_override=config.max_staircase_iterations,
                 max_tcg_override=config.ramp_tcg_iterations,
@@ -294,7 +289,7 @@ def solve_cora(
         if capped or config.ramp_tcg_iterations < config.tnt.max_tcg_iterations:
             with timer("tnt_finish"):
                 result = tnt_solve(
-                    pd, result.x, precon, config.tnt, op=op,
+                    pd, result.x, precon, config.tnt, op=solver_op,
                     log_iterates=config.log_iterates,
                 )
             if all_iterates is not None and result.iterates:
@@ -387,7 +382,7 @@ def solve_cora(
             X = saddle_escape(
                 pd, result.x, cert.theta, v, precon,
                 SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose,
-                op=op,
+                op=solver_op,
             )
         vprint(f"[t={time.time()-t_start:7.2f}s] saddle escape took "
                f"{time.time()-t_e:.2f}s")
@@ -402,7 +397,7 @@ def solve_cora(
             X = project_solution(pd, X, verbose=verbose)
         with timer("tnt_refine"):
             result = tnt_solve(
-                pd, X, precon, config.tnt, op=op,
+                pd, X, precon, config.tnt, op=solver_op,
                 log_iterates=config.log_iterates,
             )
         if all_iterates is not None and result.iterates:
@@ -464,12 +459,17 @@ def extract_solution(problem: Problem, config: SolverConfig, res: CoraResult):
 
 
 def _certify_with_retry(problem, pd, Y, eta, cert_p, bootstrap):
-    """NaN-θ retry loop (reference `CORA_problem.cpp:1076-1083`)."""
+    """NaN-θ retry loop (reference `CORA_problem.cpp:1076-1083`).
+
+    method="auto": the PSD decision is the exact float64 banded Cholesky
+    wherever the graph permits (host-cascade rigor); only the escape
+    eigenvector comes from the fast on-device LOBPCG."""
     cert = certify_solution(
         problem, pd, Y, eta,
         nx=cert_p.lobpcg_block_size,
         eigvec_bootstrap=bootstrap,
         max_lobpcg_iters=cert_p.max_lobpcg_iters,
+        method="auto",
     )
     retries = 0
     while np.isnan(cert.theta) and retries < 20:
@@ -479,6 +479,7 @@ def _certify_with_retry(problem, pd, Y, eta, cert_p, bootstrap):
             nx=cert_p.lobpcg_block_size,
             eigvec_bootstrap=bootstrap,
             max_lobpcg_iters=cert_p.max_lobpcg_iters,
+            method="auto",
         )
         retries += 1
     return cert

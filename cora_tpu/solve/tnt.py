@@ -200,10 +200,14 @@ class _StaticArgs:
     params: tuple  # numeric params as a hashable tuple
 
 
-def _tnt_init(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
-              log_iterates: bool = False):
+def _tnt_init(pd, Y0, pfac, precon, params: TNTParams, history_len: int,
+              op=None, log_iterates: bool = False):
     """Build the initial TNT carry (objective/gradient at Y0, empty
-    histories). One compiled program per (shape, params) pair."""
+    histories). One compiled program per (shape, params) pair.
+
+    `precon` is a STATIC function (pd, fac, V) ↦ P·V; `pfac` is its
+    factor pytree, passed as an operand so the factor arrays are never
+    embedded as MLIR constants (see `cora_tpu.precond.PrecondOp`)."""
     dtype = Y0.dtype
 
     def f_and_grad(Y):
@@ -213,7 +217,7 @@ def _tnt_init(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
         return f, grad, nablaF
 
     def precon_tangent(Y, V):
-        return tangent_space_projection(pd, Y, precon(V))
+        return tangent_space_projection(pd, Y, precon(pd, pfac, V))
 
     f0, grad0, nablaF0 = f_and_grad(Y0)
     gradnorm0 = jnp.sqrt(_inner(grad0, grad0))
@@ -249,7 +253,7 @@ def _tnt_init(pd, Y0, precon, params: TNTParams, history_len: int, op=None,
     )
 
 
-def _tnt_chunk(pd, carry, precon, params: TNTParams, op=None,
+def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
                log_iterates: bool = False, iter_cap=None, tcg_cap=None,
                chunk_end=None):
     """Advance the TNT while_loop up to `chunk_end` outer iterations.
@@ -274,7 +278,7 @@ def _tnt_chunk(pd, carry, precon, params: TNTParams, op=None,
         return f, grad, nablaF
 
     def precon_tangent(Y, V):
-        return tangent_space_projection(pd, Y, precon(V))
+        return tangent_space_projection(pd, Y, precon(pd, pfac, V))
 
     def cond(c):
         return jnp.logical_and(c["k"] < stop_at, c["status"] == RUNNING)
@@ -426,8 +430,9 @@ def tnt_solve(
     if max_time is None:
         max_time = params.max_computation_time
 
+    pfn, pfac = _normalize_precon(precon)
     carry = _tnt_init_jit(
-        pd, Y0, precon, hp, params.max_iterations, op, log_iterates
+        pd, Y0, pfac, pfn, hp, params.max_iterations, op, log_iterates
     )
     k = 0
     status = int(carry["status"])
@@ -435,7 +440,7 @@ def tnt_solve(
     while status == RUNNING and k < iter_cap:
         chunk_end = min(k + CHUNK_ITERS, iter_cap)
         carry = _tnt_chunk_jit(
-            pd, carry, precon, hp, op, log_iterates,
+            pd, carry, pfac, pfn, hp, op, log_iterates,
             np.int32(iter_cap), np.int32(tcg_cap), np.int32(chunk_end),
         )
         k = int(carry["k"])
@@ -472,6 +477,24 @@ def tnt_solve(
             [np.asarray(y) for y in out["iterates"][:k]] if log_iterates else None
         ),
     )
+
+
+def _normalize_precon(precon):
+    """(static fn(pd, fac, V), fac operand) from either a `PrecondOp` or
+    a legacy closure (wrapped once and cached on the closure object so
+    jit sees a stable static callable)."""
+    if hasattr(precon, "fn") and hasattr(precon, "fac"):
+        return precon.fn, precon.fac
+    fn = getattr(precon, "_param_fn", None)
+    if fn is None:
+        def fn(pd, fac, V, _p=precon):
+            return _p(V)
+
+        try:
+            precon._param_fn = fn
+        except AttributeError:
+            pass  # unhashable/slotted callables: new wrapper per call
+    return fn, None
 
 
 class HashableParams:

@@ -26,7 +26,15 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 DEFAULT_DATA_DIR = "/root/reference/examples/data"
-DEFAULT_DATASETS = ["plaza1.pyfg", "plaza2.pyfg", "single_drone.pyfg", "tiers.pyfg"]
+DEFAULT_DATASETS = [
+    "plaza1.pyfg",
+    "plaza2.pyfg",
+    "single_drone.pyfg",
+    "tiers.pyfg",
+    "mrclam/range_and_rpm/mrclam3b/mrclam3b.pyfg",
+    "mrclam/range_and_rpm/mrclam5a/mrclam5a.pyfg",
+    "mrclam/range_and_rpm/mrclam6/mrclam6.pyfg",
+]
 
 
 def load_config(path: str | None) -> dict:

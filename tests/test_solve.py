@@ -28,6 +28,46 @@ def test_solve_fixture_certified(fixtures_dir, subdir, precon):
     assert res.result.x.shape == (problem.data_matrix_size, problem.dim)
 
 
+def test_device_cert_matches_host_verdicts(fixtures_dir):
+    """The all-device LOBPCG cascade (banded stage-2 preconditioner, the
+    ILDL analog of `CORA_utils.cpp:128-176`) must reach the same verdicts
+    as the host float64 cascade: certified at the optimum, uncertified
+    with a usable negative-curvature eigvec at a suboptimal point."""
+    problem = parse_pyfg(
+        str(fixtures_dir / "small_ra_slam_problem" / "factor_graph.pyfg")
+    )
+    pd = problem.device_data()
+    cfg = SolverConfig(seed=3)
+    res = solve_cora(problem, config=cfg)
+    assert res.certified
+    Y_opt = jnp.asarray(res.result.x)
+    eta = max(res.result.f * 1e-6, 1e-7)
+
+    # PSD at the optimum: both methods certify
+    for method in ("host", "device"):
+        cert = certify_solution(problem, pd, Y_opt, eta, method=method)
+        assert cert.is_certified, method
+
+    # suboptimal first-order-critical-ish point: neither certifies, and
+    # the device path's eigvec carries real negative curvature
+    rng = np.random.default_rng(0)
+    Y_bad = jnp.asarray(rng.standard_normal(Y_opt.shape))
+    from cora_tpu.ops.riemannian import project_to_manifold
+
+    Y_bad = project_to_manifold(pd, Y_bad)
+    host = certify_solution(problem, pd, Y_bad, eta, method="host")
+    dev = certify_solution(
+        problem, pd, Y_bad, eta, method="device", max_lobpcg_iters=300
+    )
+    assert not host.is_certified and not dev.is_certified
+    from cora_tpu.solve.certify import materialize_certificate
+
+    S = materialize_certificate(problem, pd, Y_bad)
+    x = dev.x / np.linalg.norm(dev.x)
+    rayleigh = float(x @ (S @ x))
+    assert rayleigh < 0  # genuine negative-curvature direction
+
+
 def test_certificate_zero_lambda_at_ground_truth(fixtures_dir):
     """At the noiseless ground truth, Λ = 0 and S = Q
     (reference `test_certification.cpp`)."""
