@@ -358,11 +358,18 @@ def host_banded_solve(pd: ProblemData, F: BandedFactorHost, V: np.ndarray) -> np
 
 def estimate_spectral_norm(Q: sp.spmatrix, tol: float = 1e-2) -> float:
     """‖Q‖₂ estimate (reference uses a 4-block LOBPCG on −Q,
-    `CORA_problem.cpp:556-578`)."""
+    `CORA_problem.cpp:556-578`).
+
+    Deterministically seeded: the estimate sets the preconditioner's
+    regularization λ = ‖Q‖₂/(κ−1), and an ARPACK default (random) start
+    vector would make λ — and with it the entire float32 staircase
+    trajectory — vary run to run."""
     from scipy.sparse.linalg import eigsh
 
     try:
-        w = eigsh(Q, k=1, which="LA", tol=tol, return_eigenvectors=False)
+        v0 = np.random.default_rng(0).standard_normal(Q.shape[0])
+        w = eigsh(Q, k=1, which="LA", tol=tol, v0=v0,
+                  return_eigenvectors=False)
         return float(abs(w[0]))
     except Exception:
         # power-iteration fallback

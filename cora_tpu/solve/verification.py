@@ -172,6 +172,12 @@ def verify_psd_host(
         v0 = np.asarray(v0, np.float64).reshape(N)
         nrm = np.linalg.norm(v0)
         v0 = v0 / nrm if nrm > 0 else None
+    if v0 is None:
+        # deterministic start: the returned eigvecs bootstrap the
+        # saddle escape, so an ARPACK random start would make the whole
+        # staircase trajectory vary run to run
+        v0 = np.random.default_rng(0).standard_normal(N)
+        v0 /= np.linalg.norm(v0)
     try:
         w, V = spla.eigsh(
             S.astype(np.float64), k=k, sigma=-c, which="LM",
