@@ -239,15 +239,24 @@ def solve_cora(
         )
         return pres
 
+    ramp_budget = config.max_staircase_iterations or config.tnt.max_iterations
     while rank <= max_rank:
         ranks_visited.append(rank)
         vprint(f"\n[t={time.time()-t_start:7.2f}s] Solving problem at rank {rank}")
-        with timer("tnt_ramp"):
+        # one device dispatch per level: the cheap-tCG ramp, the
+        # far-from-critical exit test and the full-budget finish all run
+        # inside the TNT while_loop (see tnt_solve's ramp mode)
+        with timer("tnt_level"):
             result = tnt_solve(
                 pd, X, precon, config.tnt, op=solver_op,
                 log_iterates=config.log_iterates,
-                max_iterations_override=config.max_staircase_iterations,
-                max_tcg_override=config.ramp_tcg_iterations,
+                ramp_iterations=ramp_budget,
+                ramp_tcg=config.ramp_tcg_iterations,
+                lift_grad_norm=(
+                    config.lift_grad_norm
+                    if rank < max_rank
+                    else float("inf")  # final level: finish best-effort
+                ),
             )
         if all_iterates is not None and result.iterates:
             all_iterates.extend(result.iterates)
@@ -257,12 +266,7 @@ def solve_cora(
             f"{result.elapsed_time:.2f}s, {result.status})"
         )
 
-        capped = result.status in ("max_iterations", "time_cap")
-        if (
-            capped
-            and result.gradfx_norm > config.lift_grad_norm
-            and rank < max_rank
-        ):
+        if result.status == "ramp_exit" and rank < max_rank:
             # ramp level: nowhere near a critical point — no certificate
             # to check, no saddle to escape (see module docstring)
             rank += 1
@@ -284,21 +288,6 @@ def solve_cora(
             vprint(f"[t={time.time()-t_start:7.2f}s] ramp level: lifted to "
                    f"rank {rank} (column scale {scale:.2e})")
             continue
-
-        # finish phase: full tCG budget down to the float32 floor
-        if capped or config.ramp_tcg_iterations < config.tnt.max_tcg_iterations:
-            with timer("tnt_finish"):
-                result = tnt_solve(
-                    pd, result.x, precon, config.tnt, op=solver_op,
-                    log_iterates=config.log_iterates,
-                )
-            if all_iterates is not None and result.iterates:
-                all_iterates.extend(result.iterates)
-            vprint(
-                f"[t={time.time()-t_start:7.2f}s] finish: objective "
-                f"{result.f:.6f} (|grad| {result.gradfx_norm:.2e}, "
-                f"{result.num_iterations} its, {result.status})"
-            )
 
         Y_explicit = to_explicit(result.x)
         # near-critical points of the rank-r relaxation collapse to the

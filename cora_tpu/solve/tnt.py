@@ -50,6 +50,7 @@ STEPSIZE = 4
 DELTA_TOL = 5
 MAX_ITERS = 6
 TIME_CAP = 7
+RAMP_EXIT = 8  # ramp budget exhausted far from criticality (lift + climb)
 
 STATUS_NAMES = {
     GRAD_TOL: "gradient_tolerance",
@@ -59,6 +60,7 @@ STATUS_NAMES = {
     DELTA_TOL: "trust_region_collapse",
     MAX_ITERS: "max_iterations",
     TIME_CAP: "time_cap",
+    RAMP_EXIT: "ramp_exit",
 }
 
 # statuses that indicate the iteration stalled at the dtype's precision
@@ -70,8 +72,9 @@ STALL_STATUSES = ("trust_region_collapse", "relative_decrease", "stepsize")
 # the while_loop runs in device-resident chunks of this many outer
 # iterations; between chunks the host checks the per-rank wall-clock cap
 # (reference `max_computation_time`, `src/CORA.cpp:106`). One chunk covers
-# a typical staircase level, so the common case stays a single dispatch.
-CHUNK_ITERS = 64
+# a typical staircase level INCLUDING its in-loop ramp→finish transition,
+# so the common case stays a single dispatch.
+CHUNK_ITERS = 128
 
 
 def _inner(a, b):
@@ -246,7 +249,7 @@ def _tnt_init(pd, Y0, pfac, precon, params: TNTParams, history_len: int,
         Y=Y0, f=f0, grad=grad0, nablaF=nablaF0,
         gradnorm=gradnorm0, pgradnorm=pgradnorm0,
         Delta=jnp.asarray(params.delta0, dtype), k=jnp.zeros((), jnp.int32),
-        status=init_status,
+        status=init_status, finish=jnp.zeros((), jnp.bool_),
         dec_streak=jnp.zeros((), jnp.int32), step_streak=jnp.zeros((), jnp.int32),
         hist_f=zeros_h, hist_g=zeros_h, hist_pg=zeros_h, hist_s=zeros_h,
         hist_i=izeros_h,
@@ -255,21 +258,38 @@ def _tnt_init(pd, Y0, pfac, precon, params: TNTParams, history_len: int,
 
 def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
                log_iterates: bool = False, iter_cap=None, tcg_cap=None,
-               chunk_end=None):
+               chunk_end=None, ramp_until=0, ramp_tcg=0,
+               lift_grad_norm=jnp.inf):
     """Advance the TNT while_loop up to `chunk_end` outer iterations.
 
     `iter_cap` (total outer-iteration budget), `tcg_cap` (inner tCG
     budget per outer iteration) and `chunk_end` are *dynamic* scalars, so
-    one compiled program serves every cap combination — the staircase
-    re-dispatches the same program for its cheap ramp phase (small tCG
-    budget) and the full-accuracy finish phase, and the host checks the
-    wall-clock cap between chunks (reference `max_computation_time`,
-    `src/CORA.cpp:106`).
+    one compiled program serves every cap combination, and the host
+    checks the wall-clock cap between chunks (reference
+    `max_computation_time`, `src/CORA.cpp:106`).
+
+    The staircase's ramp→finish transition runs INSIDE the loop (one
+    dispatch per level instead of two solver calls): iterations below
+    `ramp_until` get the cheap `ramp_tcg` inner budget; at iteration
+    `ramp_until` with |grad| > `lift_grad_norm` the loop exits with
+    status `ramp_exit` (the level is nowhere near critical — the
+    staircase lifts and climbs); otherwise the loop continues seamlessly
+    at the full tCG budget.
     """
     dtype = carry["Y"].dtype
-    iter_cap = jnp.minimum(jnp.asarray(iter_cap, jnp.int32), params.max_iterations)
+    ramp_until = jnp.maximum(jnp.asarray(ramp_until, jnp.int32), 0)
+    # the ramp budget rides on top of the finish budget (the reference's
+    # 250-iteration cap applies to the converging phase, `CORA.cpp:98`)
+    iter_cap = jnp.minimum(
+        jnp.asarray(iter_cap, jnp.int32), params.max_iterations + ramp_until
+    )
     tcg_cap = jnp.minimum(jnp.asarray(tcg_cap, jnp.int32), params.max_tcg_iterations)
     stop_at = jnp.minimum(jnp.asarray(chunk_end, jnp.int32), iter_cap)
+    ramp_tcg = jnp.minimum(
+        jnp.where(ramp_tcg > 0, jnp.asarray(ramp_tcg, jnp.int32), tcg_cap),
+        tcg_cap,
+    )
+    lift_grad_norm = jnp.asarray(lift_grad_norm, dtype)
 
     def f_and_grad(Y):
         nablaF = op(Y) if op is not None else data_matrix_product(pd, Y)
@@ -293,12 +313,15 @@ def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
         def prec(v):
             return precon_tangent(Y, v)
 
+        in_ramp = jnp.logical_and(
+            jnp.logical_not(c["finish"]), k < ramp_until
+        )
         s, mdec, hit_boundary, inner_k = steihaug_toint_tcg(
             grad,
             hess,
             prec,
             Delta,
-            tcg_cap,
+            jnp.where(in_ramp, ramp_tcg, tcg_cap),
             params.kappa_fgr,
             params.theta,
         )
@@ -364,6 +387,33 @@ def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
                 ),
             ),
         ).astype(jnp.int32)
+        # ramp→finish transition. At the ramp boundary (budget spent,
+        # still RUNNING): |grad| > lift_grad_norm ⇒ exit the level with
+        # RAMP_EXIT (far from critical: the staircase lifts the rank);
+        # otherwise promote to finish mode. A stall status *during* the
+        # ramp (streaks / trust-region collapse at the cheap tCG budget)
+        # also promotes — the level deserves the full budget before any
+        # verdict. Promotion restarts the trust region at Δ₀ and clears
+        # the streaks, matching the old two-call ramp/finish structure.
+        boundary = jnp.logical_and(
+            in_ramp, jnp.logical_and(k + 1 == ramp_until, status == RUNNING)
+        )
+        stall_now = jnp.logical_or(
+            jnp.logical_or(status == REL_DECREASE, status == STEPSIZE),
+            status == DELTA_TOL,
+        )
+        lift_now = jnp.logical_and(boundary, gradnorm > lift_grad_norm)
+        promote = jnp.logical_or(
+            jnp.logical_and(in_ramp, stall_now),
+            jnp.logical_and(boundary, gradnorm <= lift_grad_norm),
+        )
+        status = jnp.where(
+            lift_now, RAMP_EXIT, jnp.where(promote, RUNNING, status)
+        ).astype(jnp.int32)
+        finish_new = jnp.logical_or(c["finish"], promote)
+        Delta_new = jnp.where(promote, params.delta0, Delta_new)
+        dec_streak = jnp.where(promote, 0, dec_streak).astype(jnp.int32)
+        step_streak = jnp.where(promote, 0, step_streak).astype(jnp.int32)
 
         hist_f = c["hist_f"].at[k].set(f_new)
         hist_g = c["hist_g"].at[k].set(gradnorm)
@@ -378,7 +428,7 @@ def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
             **out_extra,
             Y=Y_new, f=f_new, grad=grad_new, nablaF=nablaF_new,
             gradnorm=gradnorm, pgradnorm=pgradnorm,
-            Delta=Delta_new, k=k + 1, status=status,
+            Delta=Delta_new, k=k + 1, status=status, finish=finish_new,
             dec_streak=dec_streak, step_streak=step_streak,
             hist_f=hist_f, hist_g=hist_g, hist_pg=hist_pg,
             hist_s=hist_s, hist_i=hist_i,
@@ -407,6 +457,9 @@ def tnt_solve(
     max_iterations_override: int | None = None,
     max_tcg_override: int | None = None,
     max_time: float | None = None,
+    ramp_iterations: int = 0,
+    ramp_tcg: int = 0,
+    lift_grad_norm: float = float("inf"),
 ) -> TNTResult:
     """Run TNT to convergence. `precon` maps ambient V → P·V (the tangent
     projection wrapper is applied internally, reference `CORA.cpp:87-92`).
@@ -416,6 +469,13 @@ def tnt_solve(
     `params.max_computation_time`, the reference's 20 s per-rank cap).
     The iteration caps are dynamic, so every (override) combination at a
     given state shape reuses one compiled program.
+
+    Staircase ramp mode (`ramp_iterations > 0`): the first
+    `ramp_iterations` outer iterations use the cheap `ramp_tcg` inner
+    budget; if |grad| > `lift_grad_norm` when that budget is exhausted
+    the solve returns with status "ramp_exit" (the staircase lifts the
+    rank), otherwise it continues seamlessly at the full tCG budget —
+    the whole ramp→finish decision happens inside one device dispatch.
     """
     params = params or TNTParams()
     t0 = time.time()
@@ -424,6 +484,9 @@ def tnt_solve(
     iter_cap = min(
         max_iterations_override or params.max_iterations, params.max_iterations
     )
+    # the ramp budget rides on top of the finish budget (device side
+    # clamps identically)
+    iter_cap += max(int(ramp_iterations), 0)
     tcg_cap = min(
         max_tcg_override or params.max_tcg_iterations, params.max_tcg_iterations
     )
@@ -442,6 +505,9 @@ def tnt_solve(
         carry = _tnt_chunk_jit(
             pd, carry, pfac, pfn, hp, op, log_iterates,
             np.int32(iter_cap), np.int32(tcg_cap), np.int32(chunk_end),
+            np.int32(ramp_iterations), np.int32(ramp_tcg),
+            np.float64(lift_grad_norm)
+            if Y0.dtype == jnp.float64 else np.float32(lift_grad_norm),
         )
         k = int(carry["k"])
         status = int(carry["status"])
@@ -453,7 +519,11 @@ def tnt_solve(
             timed_out = True
             break
 
-    out = jax.device_get(carry)
+    # pull back only what the host consumes (grad/nablaF are (N,r)
+    # device temporaries the staircase never reads)
+    out = jax.device_get(
+        {k_: v for k_, v in carry.items() if k_ not in ("grad", "nablaF")}
+    )
     elapsed = time.time() - t0
 
     k = int(out["k"])
