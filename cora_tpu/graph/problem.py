@@ -299,7 +299,9 @@ class Problem:
         """
         from cora_tpu.parallel import sharding as shd
 
-        key = (id(mesh), np.dtype(dtype).name)
+        # Mesh is hashable — keying on the object (not id()) means a new
+        # Mesh can never alias a garbage-collected one's cache entry
+        key = (mesh, np.dtype(dtype).name)
         cache = getattr(self, "_sharded_op_cache", None)
         if cache is None:
             cache = self._sharded_op_cache = {}
@@ -345,3 +347,5 @@ class Problem:
         self._op_cache = None
         self._precon_cache = None
         self._sharded_op_cache = None
+        self._polish_jax_cache = None
+        self._band_perm_cache = None

@@ -266,7 +266,15 @@ def solve_cora(
             f"{result.elapsed_time:.2f}s, {result.status})"
         )
 
-        if result.status == "ramp_exit" and rank < max_rank:
+        # a host-capped level (20 s wall cap / outer-iteration cap checked
+        # between device chunks) far from criticality is the same
+        # situation as an in-loop ramp_exit: no certificate to check, no
+        # saddle to escape — lift instead of certifying a meaningless point
+        capped_far = (
+            result.status in ("time_cap", "max_iterations")
+            and result.gradfx_norm > config.lift_grad_norm
+        )
+        if (result.status == "ramp_exit" or capped_far) and rank < max_rank:
             # ramp level: nowhere near a critical point — no certificate
             # to check, no saddle to escape (see module docstring)
             rank += 1

@@ -494,8 +494,10 @@ def tnt_solve(
         max_time = params.max_computation_time
 
     pfn, pfac = _normalize_precon(precon)
+    # histories must cover the ramp budget riding on top of the finish
+    # budget, or finish-phase .at[k].set updates drop silently
     carry = _tnt_init_jit(
-        pd, Y0, pfac, pfn, hp, params.max_iterations, op, log_iterates
+        pd, Y0, pfac, pfn, hp, iter_cap, op, log_iterates
     )
     k = 0
     status = int(carry["status"])
