@@ -72,12 +72,14 @@ class Problem:
         if sym in self.pose_symbol_idxs:
             raise ValueError(f"pose variable {sym} already exists")
         self.pose_symbol_idxs[sym] = len(self.pose_symbol_idxs)
+        self.invalidate()
 
     def add_landmark_variable(self, sym: Symbol) -> None:
         sym = Symbol(sym)
         if sym in self.landmark_symbol_idxs:
             raise ValueError(f"landmark variable {sym} already exists")
         self.landmark_symbol_idxs[sym] = len(self.landmark_symbol_idxs)
+        self.invalidate()
 
     @staticmethod
     def _unordered(pair: SymbolPair) -> tuple:
@@ -90,6 +92,7 @@ class Problem:
             raise ValueError(f"range measurement {m.first_id}->{m.second_id} already exists")
         self._range_pair_set.add(k)
         self.range_measurements.append(m)
+        self.invalidate()
 
     def add_relative_pose_measurement(self, m: RelativePoseMeasurement) -> None:
         k = self._unordered(m.symbol_pair())
@@ -99,6 +102,7 @@ class Problem:
             )
         self._rpm_pair_set.add(k)
         self.rel_pose_measurements.append(m)
+        self.invalidate()
 
     def add_relative_pose_landmark_measurement(
         self, m: RelativePoseLandmarkMeasurement
@@ -107,6 +111,7 @@ class Problem:
             if existing.same_pair(m):
                 raise ValueError("relative pose-landmark measurement already exists")
         self.rel_pose_landmark_measurements.append(m)
+        self.invalidate()
 
     def _ensure_origin(self) -> None:
         if not self.has_priors:
@@ -119,6 +124,7 @@ class Problem:
                 raise ValueError("pose prior already exists")
         self._ensure_origin()
         self.pose_priors.append(p)
+        self.invalidate()
 
     def add_landmark_prior(self, p: LandmarkPrior) -> None:
         for existing in self.landmark_priors:
@@ -126,6 +132,7 @@ class Problem:
                 raise ValueError("landmark prior already exists")
         self._ensure_origin()
         self.landmark_priors.append(p)
+        self.invalidate()
 
     def set_pose_gt(self, sym: Symbol, R: np.ndarray, t: np.ndarray) -> None:
         self.pose_gt[Symbol(sym)] = (np.asarray(R, float), np.asarray(t, float))

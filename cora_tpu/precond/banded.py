@@ -227,6 +227,7 @@ def factor_banded(
     M_sparse: sp.spmatrix,
     lam: float,
     require_exact: bool = False,
+    order: np.ndarray | None = None,
 ) -> BandedFactorHost:
     """Factor M = (given sparse symmetric matrix) + λI with the
     sphere-elimination → banded → Woodbury pipeline.
@@ -242,14 +243,19 @@ def factor_banded(
     M_all = (M_sparse + lam * sp.eye(N, format="csr")).tocsr()
 
     # the permutation depends only on the graph structure — cache it on the
-    # problem (certification calls factor_banded once per staircase level)
-    cached = getattr(problem, "_band_perm_cache", None) if problem is not None else None
-    if cached is not None and cached[0] == pd.size:
-        perm, inv_perm = cached[1], cached[2]
+    # problem (certification calls factor_banded once per staircase level);
+    # an explicit `order` (e.g. identity for the fused-kernel tile layout)
+    # bypasses the RCM ordering and the cache
+    if order is not None:
+        perm, inv_perm = build_permutation(pd, order=order)
     else:
-        perm, inv_perm = build_permutation(pd, order=pose_ordering(pd))
-        if problem is not None:
-            problem._band_perm_cache = (pd.size, perm, inv_perm)
+        cached = getattr(problem, "_band_perm_cache", None) if problem is not None else None
+        if cached is not None and cached[0] == pd.size:
+            perm, inv_perm = cached[1], cached[2]
+        else:
+            perm, inv_perm = build_permutation(pd, order=pose_ordering(pd))
+            if problem is not None:
+                problem._band_perm_cache = (pd.size, perm, inv_perm)
 
     sph0 = n * d
     sph_idx = np.arange(sph0, sph0 + m)
