@@ -356,3 +356,4 @@ class Problem:
         self._sharded_op_cache = None
         self._polish_jax_cache = None
         self._band_perm_cache = None
+        self._tile_kernel_cache = None

@@ -56,7 +56,7 @@ from cora_tpu.solve.certify import certify_solution
 from cora_tpu.solve.rounding import align_estimate_to_origin, project_solution
 from cora_tpu.solve.saddle import saddle_escape
 from cora_tpu.solve.tnt import tnt_solve
-from cora_tpu.types import CoraResult, Formulation, SolverConfig
+from cora_tpu.types import CoraResult, Formulation, Preconditioner, SolverConfig
 from cora_tpu.utils.timing import PhaseTimer
 
 SADDLE_GRAD_TOL = 1e-4  # reference `CORA.cpp:191-192`
@@ -214,6 +214,51 @@ def solve_cora(
                 fingerprint=problem_fingerprint(problem),
             ).save(checkpoint_path)
 
+    # ---- fused Pallas kernel backend selection (round 4) ----
+    # one kernel dispatch per tCG solve / per outer step instead of
+    # hundreds of XLA dispatches; covers chain graphs with the
+    # RegularizedCholesky preconditioner (every reference dataset except
+    # mrclam's inter-robot ranges — those fall back transparently)
+    kernel_eligible = (
+        config.use_pallas != "never"
+        and mesh is None
+        and not implicit
+        and config.preconditioner == Preconditioner.REGULARIZED_CHOLESKY
+        and not config.log_iterates
+        and config.dtype == np.float32
+    )
+    if kernel_eligible and config.use_pallas == "auto":
+        kernel_eligible = jax.default_backend() == "tpu"
+    kernel_interpret = (
+        config.use_pallas == "always" and jax.default_backend() != "tpu"
+    )
+    _kernel_fallback_reported = set()
+
+    def run_tnt(X, **kw):
+        """One TNT solve, on the fused-kernel backend when available."""
+        if kernel_eligible:
+            from cora_tpu.solve.tnt_tiles import (
+                get_kernel_backend,
+                tnt_solve_tiles,
+            )
+
+            backend, reason = get_kernel_backend(
+                problem, pd, int(X.shape[1]), config.tnt,
+                max_cond=config.reg_chol_max_cond,
+                interpret=kernel_interpret,
+            )
+            if backend is not None:
+                plan_r, kern = backend
+                kw.pop("log_iterates", None)
+                return tnt_solve_tiles(plan_r, kern, X, config.tnt, **kw)
+            if reason not in _kernel_fallback_reported:
+                _kernel_fallback_reported.add(reason)
+                vprint(f"[pallas] falling back to XLA path: {reason}")
+        return tnt_solve(
+            pd, X, precon, config.tnt, op=solver_op,
+            log_iterates=config.log_iterates, **kw,
+        )
+
     timer = PhaseTimer()
     grad_norm_f64 = float("nan")
     # tr(Q): calibrates the ramp-lift column so its objective energy is a
@@ -247,9 +292,8 @@ def solve_cora(
         # far-from-critical exit test and the full-budget finish all run
         # inside the TNT while_loop (see tnt_solve's ramp mode)
         with timer("tnt_level"):
-            result = tnt_solve(
-                pd, X, precon, config.tnt, op=solver_op,
-                log_iterates=config.log_iterates,
+            result = run_tnt(
+                X,
                 ramp_iterations=ramp_budget,
                 ramp_tcg=config.ramp_tcg_iterations,
                 lift_grad_norm=(
@@ -393,10 +437,7 @@ def solve_cora(
         with timer("rounding"):
             X = project_solution(pd, X, verbose=verbose)
         with timer("tnt_refine"):
-            result = tnt_solve(
-                pd, X, precon, config.tnt, op=solver_op,
-                log_iterates=config.log_iterates,
-            )
+            result = run_tnt(X)
         if all_iterates is not None and result.iterates:
             all_iterates.extend(result.iterates)
         if all_iterates is not None:

@@ -112,6 +112,11 @@ class SolverConfig:
     # None → 1e-6·‖Q‖₂ (the reference's 1e-6 gradient tolerance,
     # `src/CORA.cpp:100-101`, made scale-invariant)
     polish_grad_tol: float | None = None
+    # fused Pallas kernel backend for the TNT hot loop (chain graphs,
+    # RegularizedCholesky, explicit formulation): "auto" uses it whenever
+    # the problem qualifies and a TPU is present, "never" forces the XLA
+    # path, "always" forces it (interpreter mode off-TPU — tests only)
+    use_pallas: str = "auto"
     seed: int = 0
     verbose: bool = False
     log_iterates: bool = False
