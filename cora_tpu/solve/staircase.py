@@ -56,7 +56,13 @@ from cora_tpu.solve.certify import certify_solution
 from cora_tpu.solve.rounding import align_estimate_to_origin, project_solution
 from cora_tpu.solve.saddle import saddle_escape
 from cora_tpu.solve.tnt import tnt_solve
-from cora_tpu.types import CoraResult, Formulation, Preconditioner, SolverConfig
+from cora_tpu.types import (
+    CertResults,
+    CoraResult,
+    Formulation,
+    Preconditioner,
+    SolverConfig,
+)
 from cora_tpu.utils.timing import PhaseTimer
 
 SADDLE_GRAD_TOL = 1e-4  # reference `CORA.cpp:191-192`
@@ -361,12 +367,62 @@ def solve_cora(
                 )
                 rank = Y_trim.shape[1]
 
-        pres = (
-            _polish(Y_explicit)
-            if result.gradfx_norm <= config.lift_grad_norm
-            else None  # forced finish at max_rank far from criticality:
-            # the polish cannot converge there, certify best-effort
-        )
+        near_critical = result.gradfx_norm <= config.lift_grad_norm
+        if first_loop:
+            eigvec_bootstrap = np.asarray(Y_explicit)
+            first_loop = False
+        elif cert is not None:
+            eigvec_bootstrap = cert.all_eigvecs
+
+        # Pre-certification at the float32 point (round 4, host-off-the-
+        # critical-path): the exact banded-Cholesky PSD decision costs
+        # ~0.1 s where the float64 polish costs 0.2-1.3 s. A NOT-PSD
+        # verdict at the unpolished point already carries the escape
+        # eigenvector, so failed levels skip the polish entirely; only a
+        # level whose certificate looks PSD pays the polish, and its
+        # certificate is then re-verified at the polished (rigorously
+        # stationary) point. Soundness is unchanged — nothing certifies
+        # without the polished re-verification.
+        pres = None
+        cert_final = None
+        f_current = result.f
+        eta = _clamp(f_current * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
+        if near_critical:
+            if config.polish:
+                t_c = time.time()
+                with timer("certify"):
+                    pre = _certify_with_retry(
+                        problem, pd, Y_explicit, eta, cert_p, eigvec_bootstrap
+                    )
+                vprint(
+                    f"[t={time.time()-t_start:7.2f}s] Pre-certificate "
+                    f"(f32 point): {pre.is_certified} (eta={eta:.2e}, "
+                    f"theta={pre.theta:.3e}, {time.time()-t_c:.2f}s)"
+                )
+                if np.isnan(pre.theta):
+                    raise RuntimeError("certification produced NaN theta")
+                if pre.is_certified:
+                    pres = _polish(Y_explicit)
+                else:
+                    cert_final = pre
+            else:
+                pass  # certify the raw point below
+        else:
+            # forced finish at max_rank far from criticality: S = Q − Λ(Y)
+            # carries no optimality information at a non-critical point —
+            # do NOT issue a certificate (the reference hard-errors on the
+            # equivalent NaN-θ state, `src/CORA.cpp:180-182`)
+            vprint(
+                f"[t={time.time()-t_start:7.2f}s] max-rank level ended far "
+                f"from criticality (|grad| {result.gradfx_norm:.2e}) — "
+                f"certificate skipped"
+            )
+            cert_final = CertResults(
+                is_certified=False, theta=float("-inf"), x=np.zeros(pd.size),
+                all_eigvecs=np.zeros((pd.size, cert_p.lobpcg_block_size)),
+                num_iters=0,
+            )
+
         if pres is not None:
             grad_norm_f64 = pres.grad_norm
             Y_explicit = pres.Y  # float64 host state
@@ -380,29 +436,24 @@ def solve_cora(
                 X_pol = jnp.asarray(pres.Y, dtype=config.dtype)
             result.x = X_pol
             result.f = pres.f
-        else:
-            f_current = result.f
 
-        eta = _clamp(f_current * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
-        if first_loop:
-            eigvec_bootstrap = np.asarray(Y_explicit)
-            first_loop = False
-        elif cert is not None:
-            eigvec_bootstrap = cert.all_eigvecs
-
-        t_c = time.time()
-        with timer("certify"):
-            cert = _certify_with_retry(
-                problem, pd, Y_explicit, eta, cert_p, eigvec_bootstrap
+        if cert_final is None:
+            eta = _clamp(
+                f_current * cert_p.rel_eta, cert_p.min_eta, cert_p.max_eta)
+            t_c = time.time()
+            with timer("certify"):
+                cert = _certify_with_retry(
+                    problem, pd, Y_explicit, eta, cert_p, eigvec_bootstrap
+                )
+            vprint(
+                f"[t={time.time()-t_start:7.2f}s] Certified: "
+                f"{cert.is_certified} (eta={eta:.2e}, theta={cert.theta:.3e}, "
+                f"{cert.num_iters} eig iters, cert took {time.time()-t_c:.2f}s)"
             )
-        vprint(
-            f"[t={time.time()-t_start:7.2f}s] Certified: {cert.is_certified} "
-            f"(eta={eta:.2e}, theta={cert.theta:.3e}, {cert.num_iters} eig "
-            f"iters, cert took {time.time()-t_c:.2f}s)"
-        )
-
-        if np.isnan(cert.theta):
-            raise RuntimeError("certification produced NaN theta")
+            if np.isnan(cert.theta):
+                raise RuntimeError("certification produced NaN theta")
+        else:
+            cert = cert_final
 
         if cert.is_certified:
             X = result.x
