@@ -233,9 +233,11 @@ class PallasTNT:
 
             z0 = ops.tangent_project(Yv, ops.precon_solve(gv))
             rz0 = ops.dot(gv, z0)
+            # x**theta as exp(theta*log x) — Mosaic has no powf lowering;
+            # the argument is > 0 by construction (sqrt + tiny)
+            sq = jnp.sqrt(jnp.maximum(rz0, 0.0)) + eps
             rz_stop = rz0 * jnp.minimum(
-                f32(kappa), jnp.power(jnp.sqrt(jnp.maximum(rz0, 0.0)) + eps,
-                                      f32(theta))) ** 2
+                f32(kappa), jnp.exp(f32(theta) * jnp.log(sq))) ** 2
 
             zero3 = _tree3(jnp.zeros_like, gv)
 

@@ -288,6 +288,12 @@ def build_tile_plan(
     if l:
         capinv[:l, :l] = F.cap_inv
     const["capinv"] = capinv  # small (l, l) — goes to SMEM params
+    # one-hot lane rows for landmark-column writes (Pallas TPU has no
+    # scatter: column k updates become `col * lmhot[k]` broadcasts)
+    lmhot = np.zeros((max(l, 1), LANES), np.float64)
+    for k in range(l):
+        lmhot[k, k] = 1.0
+    const["lmhot"] = lmhot
 
     # ---- conversion index maps ----
     g = np.arange(2 * n_pad).reshape(n_pad, 2).T  # g[p, c] = 2c + p
@@ -401,6 +407,24 @@ class TileOps:
     def crow(self, name, i):
         return _row(self.C[name], i)
 
+    def _lm_cols_tile(self, cols, like):
+        """Landmark columns [(r,1) per k] -> a tile shaped like `like`.
+
+        Pallas TPU has no scatter; column writes become one-hot lane-row
+        broadcasts (`lmhot` constants)."""
+        jnp = self.jnp
+        parts = None
+        for k, c in enumerate(cols):
+            t = c * self.crow("lmhot", k)  # (r, LANES)
+            parts = t if parts is None else parts + t
+        if parts is None:
+            return jnp.zeros_like(like)
+        pad = like.shape[0] - parts.shape[0]
+        if pad:
+            parts = jnp.concatenate(
+                [parts, jnp.zeros((pad, like.shape[1]), parts.dtype)], axis=0)
+        return parts
+
     def _edge_coefs(self, p):
         """Forward-edge coefficient rows at parity p (edge g -> g+1)."""
         d = self.plan.d
@@ -438,7 +462,7 @@ class TileOps:
         d, q, r, Smax, l = plan.d, plan.q, plan.r, plan.S, plan.l
         oP = [jnp.zeros_like(self.rot(P, 0, 0))] * (2 * q)
         oS = [jnp.zeros_like(self.sph(S, 0, 0))] * (2 * Smax)
-        oL = jnp.zeros_like(L)
+        lm_cols = [None] * l
 
         def addP(p, a, v):
             oP[p * q + a] = oP[p * q + a] + v
@@ -507,9 +531,10 @@ class TileOps:
                 addP(p, d, -wv)
                 for k in range(l):
                     sel = self.crow("lmsel", srow * max(l, 1) + k)
-                    oL = oL.at[:r, k:k + 1].add(
-                        jnp.sum(sel * wv, axis=1, keepdims=True))
+                    c = jnp.sum(sel * wv, axis=1, keepdims=True)
+                    lm_cols[k] = c if lm_cols[k] is None else lm_cols[k] + c
 
+        oL = self._lm_cols_tile(lm_cols, L)
         return jnp.concatenate(oP, axis=0), jnp.concatenate(oS, axis=0), oL
 
     # -- inner products ------------------------------------------------------
@@ -624,7 +649,7 @@ class TileOps:
         #    translations gets +cval*w_s; landmark rhs gets -sum cval*w_s
         w_sph = []
         trc = [jnp.zeros_like(self.tr(VP, 0)), jnp.zeros_like(self.tr(VP, 1))]
-        lm_rhs = VL
+        lm_corr = [None] * l
         for p in range(2):
             for s in range(Smax):
                 srow = p * Smax + s
@@ -634,8 +659,9 @@ class TileOps:
                 trc[p] = trc[p] + cw
                 for k in range(l):
                     sel = self.crow("lmsel", srow * max(l, 1) + k)
-                    lm_rhs = lm_rhs.at[:r, k:k + 1].add(
-                        -jnp.sum(sel * cw, axis=1, keepdims=True))
+                    c = jnp.sum(sel * cw, axis=1, keepdims=True)
+                    lm_corr[k] = c if lm_corr[k] is None else lm_corr[k] + c
+        lm_rhs = VL - self._lm_cols_tile(lm_corr, VL)
         rhs = []
         for p in range(2):
             for a in range(d):
@@ -671,7 +697,11 @@ class TileOps:
                     row = self.crow("BinvC", k * w + e)
                     upd.append(row * y2[k])
                 x_b = x_b - jnp.concatenate(upd, axis=0)
-            oL = VL.at[:r, :l].set(jnp.concatenate(y2, axis=1))
+            hotany = None
+            for k in range(l):
+                h = self.crow("lmhot", k)
+                hotany = h if hotany is None else hotany + h
+            oL = VL * (1.0 - hotany) + self._lm_cols_tile(y2, VL)
         else:
             x_b, oL = y1, VL
 

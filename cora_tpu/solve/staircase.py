@@ -307,6 +307,8 @@ def solve_cora(
                     if rank < max_rank
                     else float("inf")  # final level: finish best-effort
                 ),
+                stall_window=config.ramp_stall_window,
+                stall_tol=config.ramp_stall_tol,
             )
         if all_iterates is not None and result.iterates:
             all_iterates.extend(result.iterates)

@@ -259,7 +259,7 @@ def _tnt_init(pd, Y0, pfac, precon, params: TNTParams, history_len: int,
 def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
                log_iterates: bool = False, iter_cap=None, tcg_cap=None,
                chunk_end=None, ramp_until=0, ramp_tcg=0,
-               lift_grad_norm=jnp.inf):
+               lift_grad_norm=jnp.inf, stall_window=0, stall_tol=0.0):
     """Advance the TNT while_loop up to `chunk_end` outer iterations.
 
     `iter_cap` (total outer-iteration budget), `tcg_cap` (inner tCG
@@ -290,6 +290,8 @@ def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
         tcg_cap,
     )
     lift_grad_norm = jnp.asarray(lift_grad_norm, dtype)
+    stall_window = jnp.asarray(stall_window, jnp.int32)
+    stall_tol = jnp.asarray(stall_tol, dtype)
 
     def f_and_grad(Y):
         nablaF = op(Y) if op is not None else data_matrix_product(pd, Y)
@@ -387,16 +389,34 @@ def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
                 ),
             ),
         ).astype(jnp.int32)
-        # ramp→finish transition. At the ramp boundary (budget spent,
-        # still RUNNING): |grad| > lift_grad_norm ⇒ exit the level with
+        hist_f = c["hist_f"].at[k].set(f_new)
+        # ramp→finish transition. The ramp ends EITHER at the hard budget
+        # (ramp_until) or adaptively when the objective has plateaued at
+        # the cheap tCG budget: relative decrease over the last
+        # `stall_window` iterations below `stall_window · stall_tol`
+        # (round-4 adaptive pacing — the fixed-budget ramp was chaotic
+        # across seeds/budgets; the plateau detector self-adjusts to how
+        # fast this config actually makes progress, the analog of the
+        # reference's per-rank `max_computation_time`, `src/CORA.cpp:106`).
+        # At the boundary: |grad| > lift_grad_norm ⇒ exit the level with
         # RAMP_EXIT (far from critical: the staircase lifts the rank);
         # otherwise promote to finish mode. A stall status *during* the
         # ramp (streaks / trust-region collapse at the cheap tCG budget)
         # also promotes — the level deserves the full budget before any
         # verdict. Promotion restarts the trust region at Δ₀ and clears
         # the streaks, matching the old two-call ramp/finish structure.
+        f_lag = hist_f[jnp.maximum(k - stall_window, 0)]
+        plateaued = jnp.logical_and(
+            jnp.logical_and(stall_window > 0, k >= stall_window),
+            (f_lag - f_new)
+            < stall_window.astype(dtype) * stall_tol * jnp.abs(f_new),
+        )
         boundary = jnp.logical_and(
-            in_ramp, jnp.logical_and(k + 1 == ramp_until, status == RUNNING)
+            in_ramp,
+            jnp.logical_and(
+                jnp.logical_or(k + 1 == ramp_until, plateaued),
+                status == RUNNING,
+            ),
         )
         stall_now = jnp.logical_or(
             jnp.logical_or(status == REL_DECREASE, status == STEPSIZE),
@@ -415,7 +435,6 @@ def _tnt_chunk(pd, carry, pfac, precon, params: TNTParams, op=None,
         dec_streak = jnp.where(promote, 0, dec_streak).astype(jnp.int32)
         step_streak = jnp.where(promote, 0, step_streak).astype(jnp.int32)
 
-        hist_f = c["hist_f"].at[k].set(f_new)
         hist_g = c["hist_g"].at[k].set(gradnorm)
         hist_pg = c["hist_pg"].at[k].set(pgradnorm)
         hist_s = c["hist_s"].at[k].set(jnp.where(accept, step_norm, 0.0))
@@ -460,6 +479,8 @@ def tnt_solve(
     ramp_iterations: int = 0,
     ramp_tcg: int = 0,
     lift_grad_norm: float = float("inf"),
+    stall_window: int = 0,
+    stall_tol: float = 0.0,
 ) -> TNTResult:
     """Run TNT to convergence. `precon` maps ambient V → P·V (the tangent
     projection wrapper is applied internally, reference `CORA.cpp:87-92`).
@@ -510,6 +531,9 @@ def tnt_solve(
             np.int32(ramp_iterations), np.int32(ramp_tcg),
             np.float64(lift_grad_norm)
             if Y0.dtype == jnp.float64 else np.float32(lift_grad_norm),
+            np.int32(stall_window),
+            np.float64(stall_tol)
+            if Y0.dtype == jnp.float64 else np.float32(stall_tol),
         )
         k = int(carry["k"])
         status = int(carry["status"])

@@ -81,7 +81,8 @@ def _init_tiles(kern: PallasTNT, Y0_tiles, history_len: int):
 
 @partial(jax.jit, static_argnames=("kern",))
 def _chunk_tiles(kern: PallasTNT, carry, iter_cap, tcg_cap, chunk_end,
-                 ramp_until, ramp_tcg, lift_grad_norm):
+                 ramp_until, ramp_tcg, lift_grad_norm,
+                 stall_window, stall_tol):
     """Device-resident chunk of TNT outer iterations (kernel backend).
 
     Logic is line-for-line the `cora_tpu.solve.tnt._tnt_chunk` semantics
@@ -101,6 +102,8 @@ def _chunk_tiles(kern: PallasTNT, carry, iter_cap, tcg_cap, chunk_end,
         tcg_cap,
     )
     lift_grad_norm = jnp.asarray(lift_grad_norm, f32)
+    stall_window = jnp.asarray(stall_window, jnp.int32)
+    stall_tol = jnp.asarray(stall_tol, f32)
 
     def cond(c):
         return jnp.logical_and(c["k"] < stop_at, c["status"] == RUNNING)
@@ -174,8 +177,21 @@ def _chunk_tiles(kern: PallasTNT, carry, iter_cap, tcg_cap, chunk_end,
                 ),
             ),
         ).astype(jnp.int32)
+        # adaptive ramp end: hard budget OR objective plateau over the
+        # last `stall_window` iterations (see `tnt._tnt_chunk`)
+        hist_f = c["hist_f"].at[k].set(f_new)
+        f_lag = hist_f[jnp.maximum(k - stall_window, 0)]
+        plateaued = jnp.logical_and(
+            jnp.logical_and(stall_window > 0, k >= stall_window),
+            (f_lag - f_new)
+            < stall_window.astype(f32) * stall_tol * jnp.abs(f_new),
+        )
         boundary = jnp.logical_and(
-            in_ramp, jnp.logical_and(k + 1 == ramp_until, status == RUNNING)
+            in_ramp,
+            jnp.logical_and(
+                jnp.logical_or(k + 1 == ramp_until, plateaued),
+                status == RUNNING,
+            ),
         )
         stall_now = jnp.logical_or(
             jnp.logical_or(status == REL_DECREASE, status == STEPSIZE),
@@ -199,7 +215,7 @@ def _chunk_tiles(kern: PallasTNT, carry, iter_cap, tcg_cap, chunk_end,
             gradnorm=gradnorm, pgradnorm=pgradnorm,
             Delta=Delta_new, k=k + 1, status=status, finish=finish_new,
             dec_streak=dec_streak, step_streak=step_streak,
-            hist_f=c["hist_f"].at[k].set(f_new),
+            hist_f=hist_f,
             hist_g=c["hist_g"].at[k].set(gradnorm),
             hist_pg=c["hist_pg"].at[k].set(pgradnorm),
             hist_s=c["hist_s"].at[k].set(jnp.where(accept, step_norm, 0.0)),
@@ -220,6 +236,8 @@ def tnt_solve_tiles(
     ramp_iterations: int = 0,
     ramp_tcg: int = 0,
     lift_grad_norm: float = float("inf"),
+    stall_window: int = 0,
+    stall_tol: float = 0.0,
 ) -> TNTResult:
     """Drop-in `tnt_solve` on the kernel backend (canonical Y in/out)."""
     params = params or TNTParams()
@@ -246,6 +264,7 @@ def tnt_solve_tiles(
             np.int32(iter_cap), np.int32(tcg_cap), np.int32(chunk_end),
             np.int32(ramp_iterations), np.int32(ramp_tcg),
             np.float32(lift_grad_norm),
+            np.int32(stall_window), np.float32(stall_tol),
         )
         k = int(carry["k"])
         status = int(carry["status"])

@@ -101,6 +101,14 @@ class SolverConfig:
     # (lift + continue) instead of entering the finish/certify phase
     # (see staircase docstring)
     lift_grad_norm: float = 1e3
+    # adaptive ramp pacing: end a level's ramp phase when the relative
+    # objective decrease over the last `ramp_stall_window` iterations
+    # falls below `window · ramp_stall_tol` (0 disables; the hard
+    # `max_staircase_iterations` budget still applies either way). Makes
+    # the staircase path robust to seed/tcg-budget choices instead of
+    # tuned to one chaotic optimum.
+    ramp_stall_window: int = 10
+    ramp_stall_tol: float = 1e-4
     # ramp lifts add a random column scaled so the objective regresses by
     # at most ~this fraction of its current value (strong symmetry
     # breaking far from the optimum, negligible perturbation near it)
