@@ -322,7 +322,21 @@ def _jax_polish_kernels(problem, max_cond: float):
         f_prop = 0.5 * jnp.vdot(Y_prop, data_matrix_product(pd64, Y_prop))
         return Y_prop, f_prop
 
-    kernels = (pd64, newton_step, probe)
+    @jax.jit
+    def probe_ladder(Y, s, alphas):
+        """The whole Armijo backtracking ladder in ONE dispatch: retract
+        and evaluate f at every candidate step length (sequential probes
+        cost ~0.1 s each in dispatch overhead; a 40-probe line search ×
+        30 Newton iterations was a 200 s worst case)."""
+
+        def one(alpha):
+            Y_prop = jproj(pd64, Y + alpha * s)
+            f_prop = 0.5 * jnp.vdot(Y_prop, data_matrix_product(pd64, Y_prop))
+            return Y_prop, f_prop
+
+        return jax.lax.map(one, alphas)
+
+    kernels = (pd64, newton_step, probe, probe_ladder)
     problem._polish_jax_cache = (max_cond, kernels)
     return kernels
 
@@ -362,7 +376,8 @@ def polish_solution(
 
     if grad_tol is None:
         grad_tol = 1e-6 * max(1.0, _q_norm(problem))
-    pd64, newton_step, probe = _jax_polish_kernels(problem, max_cond)
+    pd64, newton_step, probe, probe_ladder = _jax_polish_kernels(
+        problem, max_cond)
     cpu = _cpu_device()
     with jax.default_device(cpu):
         from cora_tpu.ops.riemannian import project_to_manifold as _jp
@@ -389,19 +404,17 @@ def polish_solution(
             break
 
         gdir = float(gdir)
-        alpha, accepted = 1.0, False
-        for _ in range(40):
-            Y_prop, f_prop = probe(Y, s, alpha)
-            f_prop = float(f_prop)
-            if f_prop <= f + 1e-4 * alpha * gdir or f_prop < f:
-                accepted = True
-                break
-            alpha *= 0.5
-        if not accepted:
+        # batched Armijo ladder: one dispatch evaluates every candidate
+        alphas = 0.5 ** np.arange(16, dtype=np.float64)
+        Y_props, f_props = probe_ladder(Y, s, jnp.asarray(alphas))
+        f_props = np.asarray(f_props)
+        ok = (f_props <= f + 1e-4 * alphas * gdir) | (f_props < f)
+        if not ok.any():
             status = "line_search_failure"
             break
-        Y = Y_prop
-        f = f_prop
+        i = int(np.argmax(ok))  # largest accepted step
+        Y = Y_props[i]
+        f = float(f_props[i])
     else:
         k = max_iterations
 

@@ -282,6 +282,7 @@ def solve_cora(
             pres = polish_solution(
                 problem, pd, np.asarray(Y_explicit),
                 grad_tol=config.polish_grad_tol,
+                time_budget=config.polish_time_budget,
             )
         vprint(
             f"[t={time.time()-t_start:7.2f}s] f64 polish: f {pres.f:.6f}, "

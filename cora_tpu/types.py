@@ -120,6 +120,10 @@ class SolverConfig:
     # None → 1e-6·‖Q‖₂ (the reference's 1e-6 gradient tolerance,
     # `src/CORA.cpp:100-101`, made scale-invariant)
     polish_grad_tol: float | None = None
+    # hard wall-clock cap per polish call (seconds); on expiry the
+    # best-so-far point is certified and `grad_norm_f64` records the
+    # honest stationarity achieved
+    polish_time_budget: float = 5.0
     # fused Pallas kernel backend for the TNT hot loop (chain graphs,
     # RegularizedCholesky, explicit formulation): "auto" uses it whenever
     # the problem qualifies and a TPU is present, "never" forces the XLA
