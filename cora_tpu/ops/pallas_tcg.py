@@ -50,10 +50,11 @@ def _const_items(plan: TilePlan):
 
 def plan_vmem_bytes(plan: TilePlan) -> int:
     const = sum(
-        plan.const[k].size * 4 for k in _const_items(plan)
+        plan.const[k].size * (2 if k in PallasTNT.BF16_KEYS else 4)
+        for k in _const_items(plan)
     )
     state = 3 * (2 * plan.q * plan.r + 2 * plan.S * plan.r) * plan.n_pad * 4
-    work = 8 * (2 * plan.q * plan.r + 2 * plan.S * plan.r) * plan.n_pad * 4
+    work = 10 * (2 * plan.q * plan.r + 2 * plan.S * plan.r) * plan.n_pad * 4
     return const + state + work
 
 
@@ -87,12 +88,21 @@ class PallasTNT:
     operands via `self.consts`.
     """
 
+    # doubling-scan propagators stored bf16: preconditioner-internal data
+    # (only shapes the tCG search space), and the VMEM budget of the
+    # whole-chunk kernel needs the headroom
+    BF16_KEYS = ("AF", "AB")
+
     def __init__(self, plan: TilePlan, params, interpret: bool = False):
         self.plan = plan
         self.params = params  # HashableParams (kappa_fgr, theta used in-kernel)
         self.interpret = bool(interpret)
         self.consts = {
-            k: jnp.asarray(plan.const[k]) for k in _const_items(plan)
+            k: jnp.asarray(
+                plan.const[k],
+                jnp.bfloat16 if k in self.BF16_KEYS else jnp.float32,
+            )
+            for k in _const_items(plan)
         }
         self.capinv = jnp.asarray(
             plan.const["capinv"], jnp.float32
@@ -154,6 +164,90 @@ class PallasTNT:
         C["capinv"] = capinv_ref
         return TileOps(self.plan, C, _mk_roll(self.plan.n_pad), jnp)
 
+    # -- shared kernel cores (used by the standalone kernels AND the
+    # whole-chunk kernel) ----------------------------------------------------
+    def _step_core(self, ops, Yv, sv, do_retract):
+        """retract + objective + Riemannian gradient + pgradnorm."""
+        Yn_r = ops.retract(Yv, sv)
+        if do_retract is None:
+            Yn = Yn_r
+        else:
+            Yn = _tree3(lambda a, b: jnp.where(do_retract > 0, a, b), Yn_r, Yv)
+        QY = ops.qv(*Yn)
+        f = 0.5 * ops.dot(Yn, QY)
+        grad = ops.tangent_project(Yn, QY)
+        gradnorm = jnp.sqrt(ops.dot(grad, grad))
+        pg = ops.tangent_project(Yn, ops.precon_solve(grad))
+        ip = ops.dot(grad, pg)
+        pgradnorm = jnp.where(ip > 0, jnp.sqrt(jnp.maximum(ip, 0.0)), gradnorm)
+        return Yn, QY, grad, f, gradnorm, pgradnorm
+
+    def _tcg_core(self, ops, gv, Yv, nFv, delta_v, miters):
+        """Steihaug–Toint tCG (mirrors `tnt.steihaug_toint_tcg`)."""
+        f32 = jnp.float32
+        kappa = float(self.params.kappa_fgr)
+        theta = float(self.params.theta)
+        eps = jnp.asarray(np.finfo(np.float32).tiny, f32)
+
+        z0 = ops.tangent_project(Yv, ops.precon_solve(gv))
+        rz0 = ops.dot(gv, z0)
+        # x**theta as exp(theta*log x) — Mosaic has no powf lowering
+        sq = jnp.sqrt(jnp.maximum(rz0, 0.0)) + eps
+        rz_stop = rz0 * jnp.minimum(
+            f32(kappa), jnp.exp(f32(theta) * jnp.log(sq))) ** 2
+        zero3 = _tree3(jnp.zeros_like, gv)
+
+        def cond(c):
+            (s, r_, d, rz, phi, sigma, dmd, mdec, k, done, hit) = c
+            return jnp.logical_and(k < miters, jnp.logical_not(done))
+
+        def body(c):
+            (s, r_, d, rz, phi, sigma, dmd, mdec, k, done, hit) = c
+            Hd = ops.hvp(Yv, nFv, d)
+            dHd = ops.dot(d, Hd)
+            alpha = rz / jnp.where(dHd == 0, eps, dHd)
+            phi_next = phi + 2.0 * alpha * sigma + alpha * alpha * dmd
+            crossed = phi_next >= delta_v * delta_v
+            negcurv = dHd <= 0
+            stop_here = jnp.logical_or(crossed, negcurv)
+
+            disc = jnp.maximum(
+                sigma * sigma + dmd * (delta_v * delta_v - phi), 0.0)
+            tau = (-sigma + jnp.sqrt(disc)) / jnp.where(dmd == 0, eps, dmd)
+            coef = jnp.where(stop_here, tau, alpha)
+            s_new = _tree3(lambda a, b: a + coef * b, s, d)
+            mdec_new = jnp.where(
+                stop_here,
+                mdec + tau * rz - 0.5 * tau * tau * dHd,
+                mdec + 0.5 * alpha * rz,
+            )
+            r_new = _tree3(lambda a, b: a + alpha * b, r_, Hd)
+            z_new = ops.tangent_project(Yv, ops.precon_solve(r_new))
+            rz_new = ops.dot(r_new, z_new)
+            converged = rz_new <= rz_stop
+            beta = rz_new / jnp.where(rz == 0, eps, rz)
+            d_new = _tree3(lambda zz, dd: -zz + beta * dd, z_new, d)
+            sigma_new = beta * (sigma + alpha * dmd)
+            dmd_new = rz_new + beta * beta * dmd
+            done_new = jnp.logical_or(stop_here, converged)
+            return (
+                s_new, r_new, d_new, rz_new,
+                jnp.where(stop_here, phi, phi_next),
+                sigma_new, dmd_new, mdec_new, k + 1, done_new,
+                jnp.logical_or(hit, stop_here),
+            )
+
+        init = (
+            zero3, gv, _tree3(lambda z: -z, z0), rz0,
+            jnp.zeros((), f32), jnp.zeros((), f32), rz0,
+            jnp.zeros((), f32), jnp.zeros((), jnp.int32),
+            rz0 <= 0.0, jnp.zeros((), jnp.bool_),
+        )
+        s, r_, d, rz, phi, sigma, dmd, mdec, k, done, hit = (
+            jax.lax.while_loop(cond, body, init))
+        step_norm = jnp.sqrt(ops.dot(s, s))
+        return s, mdec, hit, k, step_norm
+
     # -- step kernel: retract + f + grad + pgradnorm -------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, Y, s, do_retract):
@@ -174,17 +268,8 @@ class PallasTNT:
             Yv = tuple(r[:] for r in Y_r)
             sv = tuple(r[:] for r in s_r)
             flag = scal_in[0]
-            Yn_r = ops.retract(Yv, sv)
-            Yn = _tree3(lambda a, b: jnp.where(flag > 0, a, b), Yn_r, Yv)
-
-            QY = ops.qv(*Yn)
-            f = 0.5 * ops.dot(Yn, QY)
-            grad = ops.tangent_project(Yn, QY)
-            gradnorm = jnp.sqrt(ops.dot(grad, grad))
-            pg = ops.tangent_project(Yn, ops.precon_solve(grad))
-            ip = ops.dot(grad, pg)
-            pgradnorm = jnp.where(
-                ip > 0, jnp.sqrt(jnp.maximum(ip, 0.0)), gradnorm)
+            Yn, QY, grad, f, gradnorm, pgradnorm = self._step_core(
+                ops, Yv, sv, flag)
 
             for i in range(3):
                 outs[i][:] = Yn[i]
@@ -209,8 +294,6 @@ class PallasTNT:
         Mirrors `cora_tpu.solve.tnt.steihaug_toint_tcg` exactly (M-norm
         bookkeeping, superlinear stopping rule)."""
         nck = len(self._ckeys)
-        kappa = float(self.params.kappa_fgr)
-        theta = float(self.params.theta)
 
         def kernel(*refs):
             g_r = refs[0:3]
@@ -228,76 +311,15 @@ class PallasTNT:
             nFv = tuple(r[:] for r in nF_r)
             delta_v = scal_in[0]
             miters = scal_in[1].astype(jnp.int32)
-            f32 = jnp.float32
-            eps = jnp.asarray(np.finfo(np.float32).tiny, f32)
-
-            z0 = ops.tangent_project(Yv, ops.precon_solve(gv))
-            rz0 = ops.dot(gv, z0)
-            # x**theta as exp(theta*log x) — Mosaic has no powf lowering;
-            # the argument is > 0 by construction (sqrt + tiny)
-            sq = jnp.sqrt(jnp.maximum(rz0, 0.0)) + eps
-            rz_stop = rz0 * jnp.minimum(
-                f32(kappa), jnp.exp(f32(theta) * jnp.log(sq))) ** 2
-
-            zero3 = _tree3(jnp.zeros_like, gv)
-
-            def cond(c):
-                (s, r_, d, rz, phi, sigma, dmd, mdec, k, done, hit) = c
-                return jnp.logical_and(k < miters, jnp.logical_not(done))
-
-            def body(c):
-                (s, r_, d, rz, phi, sigma, dmd, mdec, k, done, hit) = c
-                Hd = ops.hvp(Yv, nFv, d)
-                dHd = ops.dot(d, Hd)
-                alpha = rz / jnp.where(dHd == 0, eps, dHd)
-                phi_next = phi + 2.0 * alpha * sigma + alpha * alpha * dmd
-                crossed = phi_next >= delta_v * delta_v
-                negcurv = dHd <= 0
-                stop_here = jnp.logical_or(crossed, negcurv)
-
-                disc = jnp.maximum(
-                    sigma * sigma + dmd * (delta_v * delta_v - phi), 0.0)
-                tau = (-sigma + jnp.sqrt(disc)) / jnp.where(dmd == 0, eps, dmd)
-                coef = jnp.where(stop_here, tau, alpha)
-                s_new = _tree3(lambda a, b: a + coef * b, s, d)
-                mdec_new = jnp.where(
-                    stop_here,
-                    mdec + tau * rz - 0.5 * tau * tau * dHd,
-                    mdec + 0.5 * alpha * rz,
-                )
-
-                r_new = _tree3(lambda a, b: a + alpha * b, r_, Hd)
-                z_new = ops.tangent_project(Yv, ops.precon_solve(r_new))
-                rz_new = ops.dot(r_new, z_new)
-                converged = rz_new <= rz_stop
-
-                beta = rz_new / jnp.where(rz == 0, eps, rz)
-                d_new = _tree3(lambda zz, dd: -zz + beta * dd, z_new, d)
-                sigma_new = beta * (sigma + alpha * dmd)
-                dmd_new = rz_new + beta * beta * dmd
-                done_new = jnp.logical_or(stop_here, converged)
-                return (
-                    s_new, r_new, d_new, rz_new,
-                    jnp.where(stop_here, phi, phi_next),
-                    sigma_new, dmd_new, mdec_new, k + 1, done_new,
-                    jnp.logical_or(hit, stop_here),
-                )
-
-            init = (
-                zero3, gv, _tree3(lambda z: -z, z0), rz0,
-                jnp.zeros((), f32), jnp.zeros((), f32), rz0,
-                jnp.zeros((), f32), jnp.zeros((), jnp.int32),
-                rz0 <= 0.0, jnp.zeros((), jnp.bool_),
-            )
-            s, r_, d, rz, phi, sigma, dmd, mdec, k, done, hit = (
-                jax.lax.while_loop(cond, body, init))
+            s, mdec, hit, k, step_norm = self._tcg_core(
+                ops, gv, Yv, nFv, delta_v, miters)
 
             for i in range(3):
                 s_out[i][:] = s[i]
             scal_out[0] = mdec
-            scal_out[1] = hit.astype(f32)
-            scal_out[2] = k.astype(f32)
-            scal_out[3] = jnp.sqrt(ops.dot(s, s))
+            scal_out[1] = hit.astype(jnp.float32)
+            scal_out[2] = k.astype(jnp.float32)
+            scal_out[3] = step_norm
 
         scal = jnp.stack([
             delta.astype(jnp.float32),
@@ -306,3 +328,243 @@ class PallasTNT:
         out = self._call(kernel, 3, scal, 1, 4, *grad, *Y, *nablaF)
         s, sc = out[0:3], out[3]
         return s, sc[0], sc[1] > 0, sc[2].astype(jnp.int32), sc[3]
+
+    # -- chunk kernel: the whole TNT outer loop in one dispatch --------------
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("history_len",))
+    def chunk(self, Y, grad, nablaF, fscal, iscal, hists, history_len):
+        """Run TNT outer iterations until `stop_at`/termination, entirely
+        on-chip: per outer iteration the tCG inner solve, the fused
+        retract+objective+gradient step, and the trust-region/status/ramp
+        logic (identical to `cora_tpu.solve.tnt._tnt_chunk`) execute with
+        all operands VMEM-resident — the constant tiles are loaded ONCE
+        per chunk instead of twice per outer iteration.
+
+        fscal (8,)  f32: [f, gradnorm, pgradnorm, Delta, lift_grad_norm,
+                          stall_tol, 0, 0]
+        iscal (12,) i32: [k, status, finish, dec_streak, step_streak,
+                          stop_at, tcg_cap, ramp_until, ramp_tcg,
+                          stall_window, 0, 0]
+        hists: 5 arrays (history_len,) — f, g, pg, s (f32) and inner (i32).
+        """
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from cora_tpu.solve.tnt import (
+            DELTA_TOL,
+            GRAD_TOL,
+            PRECON_GRAD_TOL,
+            RAMP_EXIT,
+            REL_DECREASE,
+            RUNNING,
+            STEPSIZE,
+        )
+
+        p = self.params
+        nck = len(self._ckeys)
+        f32 = jnp.float32
+        tiny = np.float32(np.finfo(np.float32).tiny)
+        STREAK = 3
+
+        def kernel(*refs):
+            Y_r = refs[0:3]
+            g_r = refs[3:6]
+            nF_r = refs[6:9]
+            consts = refs[9:9 + nck]
+            capinv = refs[9 + nck]
+            fs = refs[10 + nck]
+            isc = refs[11 + nck]
+            h_in = refs[12 + nck:17 + nck]
+            outs = refs[17 + nck:]
+            Y_o, g_o, nF_o = outs[0:3], outs[3:6], outs[6:9]
+            fs_o, isc_o = outs[9], outs[10]
+            h_out = outs[11:16]
+            ops = self._ops(consts, capinv)
+
+            # carry histories through (the plateau detector reads lagged
+            # f values from the output ref inside the loop body)
+            def copy_h(i, _):
+                for a, b in zip(h_in, h_out):
+                    b[i] = a[i]
+                return 0
+
+            jax.lax.fori_loop(0, history_len, copy_h, 0)
+
+            stop_at = isc[5]
+            tcg_cap = isc[6]
+            ramp_until = isc[7]
+            ramp_tcg = isc[8]
+            stall_window = isc[9]
+            lift_grad_norm = fs[4]
+            stall_tol = fs[5]
+
+            def cond(c):
+                return jnp.logical_and(c[7] < stop_at, c[8] == RUNNING)
+
+            def body(c):
+                (Yv, gv, nFv, f, gradnorm, pgradnorm, Delta, k, status,
+                 finish, dec_streak, step_streak) = c
+
+                in_ramp = jnp.logical_and(
+                    jnp.logical_not(finish), k < ramp_until)
+                s, mdec, hit_boundary, inner_k, step_norm = self._tcg_core(
+                    ops, gv, Yv, nFv, Delta,
+                    jnp.where(in_ramp, ramp_tcg, tcg_cap),
+                )
+                Yp, QYp, gradp, f_prop, gn_prop, pgn_prop = self._step_core(
+                    ops, Yv, s, None)
+
+                rho = (f - f_prop) / jnp.where(mdec == 0, tiny, mdec)
+                accept = jnp.logical_and(rho >= p.eta1, mdec > 0)
+
+                Y_new = _tree3(lambda a, b: jnp.where(accept, a, b), Yp, Yv)
+                g_new = _tree3(lambda a, b: jnp.where(accept, a, b), gradp, gv)
+                nF_new = _tree3(lambda a, b: jnp.where(accept, a, b), QYp, nFv)
+                f_new = jnp.where(accept, f_prop, f)
+                gradnorm = jnp.where(accept, gn_prop, gradnorm)
+                pgradnorm = jnp.where(accept, pgn_prop, pgradnorm)
+
+                very_successful = rho >= p.eta2
+                Delta_new = jnp.where(
+                    jnp.logical_not(accept),
+                    f32(p.alpha1) * Delta,
+                    jnp.where(
+                        jnp.logical_and(very_successful, hit_boundary),
+                        f32(p.alpha2) * Delta,
+                        Delta,
+                    ),
+                )
+
+                rel_decrease = (f - f_prop) / (jnp.abs(f) + tiny)
+                small_decrease = jnp.logical_and(
+                    accept, rel_decrease < p.relative_decrease_tolerance)
+                small_step = jnp.logical_and(
+                    accept, step_norm < p.stepsize_tolerance)
+                dec_streak = jnp.where(
+                    small_decrease, dec_streak + 1,
+                    jnp.where(accept, 0, dec_streak)).astype(jnp.int32)
+                step_streak = jnp.where(
+                    small_step, step_streak + 1,
+                    jnp.where(accept, 0, step_streak)).astype(jnp.int32)
+                status = jnp.where(
+                    gradnorm <= p.gradient_tolerance,
+                    GRAD_TOL,
+                    jnp.where(
+                        pgradnorm <= p.preconditioned_gradient_tolerance,
+                        PRECON_GRAD_TOL,
+                        jnp.where(
+                            dec_streak >= STREAK,
+                            REL_DECREASE,
+                            jnp.where(
+                                step_streak >= STREAK,
+                                STEPSIZE,
+                                jnp.where(
+                                    Delta_new < p.delta_tolerance,
+                                    DELTA_TOL, RUNNING),
+                            ),
+                        ),
+                    ),
+                ).astype(jnp.int32)
+
+                # histories (written before the plateau read below)
+                h_out[0][k] = f_new
+                h_out[1][k] = gradnorm
+                h_out[2][k] = pgradnorm
+                h_out[3][k] = jnp.where(accept, step_norm, f32(0.0))
+                h_out[4][k] = inner_k
+
+                # adaptive ramp end: hard budget OR objective plateau
+                f_lag = h_out[0][jnp.maximum(k - stall_window, 0)]
+                plateaued = jnp.logical_and(
+                    jnp.logical_and(stall_window > 0, k >= stall_window),
+                    (f_lag - f_new)
+                    < stall_window.astype(f32) * stall_tol * jnp.abs(f_new),
+                )
+                boundary = jnp.logical_and(
+                    in_ramp,
+                    jnp.logical_and(
+                        jnp.logical_or(k + 1 == ramp_until, plateaued),
+                        status == RUNNING,
+                    ),
+                )
+                stall_now = jnp.logical_or(
+                    jnp.logical_or(status == REL_DECREASE, status == STEPSIZE),
+                    status == DELTA_TOL,
+                )
+                lift_now = jnp.logical_and(boundary, gradnorm > lift_grad_norm)
+                promote = jnp.logical_or(
+                    jnp.logical_and(in_ramp, stall_now),
+                    jnp.logical_and(boundary, gradnorm <= lift_grad_norm),
+                )
+                status = jnp.where(
+                    lift_now, RAMP_EXIT, jnp.where(promote, RUNNING, status)
+                ).astype(jnp.int32)
+                finish = jnp.logical_or(finish, promote)
+                Delta_new = jnp.where(promote, f32(p.delta0), Delta_new)
+                dec_streak = jnp.where(promote, 0, dec_streak).astype(jnp.int32)
+                step_streak = jnp.where(promote, 0, step_streak).astype(jnp.int32)
+
+                return (Y_new, g_new, nF_new, f_new, gradnorm, pgradnorm,
+                        Delta_new, k + 1, status, finish, dec_streak,
+                        step_streak)
+
+            init = (
+                tuple(r[:] for r in Y_r),
+                tuple(r[:] for r in g_r),
+                tuple(r[:] for r in nF_r),
+                fs[0], fs[1], fs[2], fs[3],
+                isc[0], isc[1],
+                isc[2] > 0,
+                isc[3], isc[4],
+            )
+            (Yv, gv, nFv, f, gradnorm, pgradnorm, Delta, k, status, finish,
+             dec_streak, step_streak) = jax.lax.while_loop(cond, body, init)
+
+            for i in range(3):
+                Y_o[i][:] = Yv[i]
+                g_o[i][:] = gv[i]
+                nF_o[i][:] = nFv[i]
+            fs_o[0] = f
+            fs_o[1] = gradnorm
+            fs_o[2] = pgradnorm
+            fs_o[3] = Delta
+            isc_o[0] = k
+            isc_o[1] = status
+            isc_o[2] = finish.astype(jnp.int32)
+            isc_o[3] = dec_streak
+            isc_o[4] = step_streak
+
+        shapes = self._tile_shapes()
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        const_args = [self.consts[k] for k in self._ckeys]
+        in_specs = (
+            self._tile_specs(9)
+            + self._tile_specs(nck)
+            + [smem] * 8  # capinv, fscal, iscal, 5 histories
+        )
+        out_shape = tuple(
+            jax.ShapeDtypeStruct(shapes[i % 3], jnp.float32) for i in range(9)
+        ) + (
+            jax.ShapeDtypeStruct((4,), jnp.float32),
+            jax.ShapeDtypeStruct((5,), jnp.int32),
+            jax.ShapeDtypeStruct((history_len,), jnp.float32),
+            jax.ShapeDtypeStruct((history_len,), jnp.float32),
+            jax.ShapeDtypeStruct((history_len,), jnp.float32),
+            jax.ShapeDtypeStruct((history_len,), jnp.float32),
+            jax.ShapeDtypeStruct((history_len,), jnp.int32),
+        )
+        out_specs = tuple(self._tile_specs(9)) + (smem,) * 7
+        out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            # state tiles alias their outputs: the chunk loop reads them
+            # once at start and writes once at end, and the VMEM budget
+            # needs the headroom
+            input_output_aliases={i: i for i in range(9)},
+            interpret=self.interpret,
+        )(*Y, *grad, *nablaF, *const_args, self.capinv, fscal, iscal, *hists)
+        Y_o, g_o, nF_o = out[0:3], out[3:6], out[6:9]
+        fs_o, isc_o = out[9], out[10]
+        return Y_o, g_o, nF_o, fs_o, isc_o, out[11:16]

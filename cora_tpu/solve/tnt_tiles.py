@@ -1,25 +1,24 @@
 """TNT trust-region solver on the fused Pallas kernel backend.
 
 Mirrors `cora_tpu.solve.tnt` (same parameters, status codes, ramp→finish
-semantics, chunked host time-cap checks — see that module for the
-reference citations) but carries the state as pose-pair TILES
-(`cora_tpu.ops.tiles`) and runs every heavy operation as a fused Pallas
-kernel (`cora_tpu.ops.pallas_tcg`):
-
-  * the whole Steihaug–Toint tCG inner solve = ONE kernel dispatch;
-  * retraction + objective + gradient + preconditioned-gradient norm =
-    ONE kernel dispatch per outer iteration.
+semantics, adaptive plateau pacing, chunked host time-cap checks — see
+that module for the reference citations) but runs each chunk of outer
+iterations as ONE Pallas kernel (`PallasTNT.chunk`): per outer iteration
+the whole Steihaug–Toint tCG inner solve, the fused
+retract+objective+gradient step and the trust-region/status logic all
+execute with VMEM-resident state, and the constant tiles (banded-factor
+propagators, edge coefficients) are loaded once per chunk instead of per
+iteration.
 
 Canonical (N, r) state crosses the tile boundary only at solve entry and
-exit. The preconditioner is the banded RegularizedCholesky factorization
-(identity pose ordering) baked into the tile plan.
+exit; between chunks only a dozen scalars round-trip to the host (for
+the wall-clock cap, reference `max_computation_time`, `src/CORA.cpp:106`).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,200 +28,15 @@ from cora_tpu.ops import tiles as tile_mod
 from cora_tpu.ops.pallas_tcg import PallasTNT, kernel_supported
 from cora_tpu.solve.tnt import (
     CHUNK_ITERS,
-    DELTA_TOL,
     GRAD_TOL,
     MAX_ITERS,
     PRECON_GRAD_TOL,
-    RAMP_EXIT,
-    REL_DECREASE,
     RUNNING,
     STATUS_NAMES,
-    STEPSIZE,
     TIME_CAP,
     HashableParams,
 )
 from cora_tpu.types import TNTParams, TNTResult
-
-
-def _where3(flag, A, B):
-    return tuple(jnp.where(flag, a, b) for a, b in zip(A, B))
-
-
-@partial(jax.jit, static_argnames=("kern", "history_len"))
-def _init_tiles(kern: PallasTNT, Y0_tiles, history_len: int):
-    params = kern.params
-    zeros = tuple(jnp.zeros_like(t) for t in Y0_tiles)
-    Y, nablaF, grad, f0, gradnorm0, pgradnorm0 = kern.step(
-        Y0_tiles, zeros, jnp.asarray(0, jnp.int32))
-
-    zeros_h = jnp.zeros((history_len,), jnp.float32)
-    izeros_h = jnp.zeros((history_len,), jnp.int32)
-    init_status = jnp.where(
-        gradnorm0 <= params.gradient_tolerance,
-        GRAD_TOL,
-        jnp.where(
-            pgradnorm0 <= params.preconditioned_gradient_tolerance,
-            PRECON_GRAD_TOL,
-            RUNNING,
-        ),
-    ).astype(jnp.int32)
-    return dict(
-        Y=Y, f=f0, grad=grad, nablaF=nablaF,
-        gradnorm=gradnorm0, pgradnorm=pgradnorm0,
-        Delta=jnp.asarray(params.delta0, jnp.float32),
-        k=jnp.zeros((), jnp.int32),
-        status=init_status, finish=jnp.zeros((), jnp.bool_),
-        dec_streak=jnp.zeros((), jnp.int32),
-        step_streak=jnp.zeros((), jnp.int32),
-        hist_f=zeros_h, hist_g=zeros_h, hist_pg=zeros_h, hist_s=zeros_h,
-        hist_i=izeros_h,
-    )
-
-
-@partial(jax.jit, static_argnames=("kern",))
-def _chunk_tiles(kern: PallasTNT, carry, iter_cap, tcg_cap, chunk_end,
-                 ramp_until, ramp_tcg, lift_grad_norm,
-                 stall_window, stall_tol):
-    """Device-resident chunk of TNT outer iterations (kernel backend).
-
-    Logic is line-for-line the `cora_tpu.solve.tnt._tnt_chunk` semantics
-    (ramp→finish in-loop transition, streak-based stall statuses)."""
-    params = kern.params
-    f32 = jnp.float32
-    tiny = jnp.asarray(np.finfo(np.float32).tiny, f32)
-    ramp_until = jnp.maximum(jnp.asarray(ramp_until, jnp.int32), 0)
-    iter_cap = jnp.minimum(
-        jnp.asarray(iter_cap, jnp.int32), params.max_iterations + ramp_until
-    )
-    tcg_cap = jnp.minimum(jnp.asarray(tcg_cap, jnp.int32),
-                          params.max_tcg_iterations)
-    stop_at = jnp.minimum(jnp.asarray(chunk_end, jnp.int32), iter_cap)
-    ramp_tcg = jnp.minimum(
-        jnp.where(ramp_tcg > 0, jnp.asarray(ramp_tcg, jnp.int32), tcg_cap),
-        tcg_cap,
-    )
-    lift_grad_norm = jnp.asarray(lift_grad_norm, f32)
-    stall_window = jnp.asarray(stall_window, jnp.int32)
-    stall_tol = jnp.asarray(stall_tol, f32)
-
-    def cond(c):
-        return jnp.logical_and(c["k"] < stop_at, c["status"] == RUNNING)
-
-    def body(c):
-        Y, f, grad, nablaF = c["Y"], c["f"], c["grad"], c["nablaF"]
-        Delta, k = c["Delta"], c["k"]
-
-        in_ramp = jnp.logical_and(
-            jnp.logical_not(c["finish"]), k < ramp_until
-        )
-        s, mdec, hit_boundary, inner_k, step_norm = kern.tcg(
-            grad, Y, nablaF, Delta,
-            jnp.where(in_ramp, ramp_tcg, tcg_cap),
-        )
-        Y_prop, nablaF_prop, grad_prop, f_prop, gn_prop, pgn_prop = kern.step(
-            Y, s, jnp.asarray(1, jnp.int32))
-
-        rho = (f - f_prop) / jnp.where(mdec == 0, tiny, mdec)
-        accept = jnp.logical_and(rho >= params.eta1, mdec > 0)
-
-        Y_new = _where3(accept, Y_prop, Y)
-        f_new = jnp.where(accept, f_prop, f)
-        grad_new = _where3(accept, grad_prop, grad)
-        nablaF_new = _where3(accept, nablaF_prop, nablaF)
-        gradnorm = jnp.where(accept, gn_prop, c["gradnorm"])
-        pgradnorm = jnp.where(accept, pgn_prop, c["pgradnorm"])
-
-        very_successful = rho >= params.eta2
-        Delta_new = jnp.where(
-            jnp.logical_not(accept),
-            params.alpha1 * Delta,
-            jnp.where(
-                jnp.logical_and(very_successful, hit_boundary),
-                params.alpha2 * Delta,
-                Delta,
-            ),
-        )
-
-        rel_decrease = (f - f_prop) / (jnp.abs(f) + tiny)
-        small_decrease = jnp.logical_and(
-            accept, rel_decrease < params.relative_decrease_tolerance
-        )
-        small_step = jnp.logical_and(
-            accept, step_norm < params.stepsize_tolerance)
-        dec_streak = jnp.where(
-            small_decrease, c["dec_streak"] + 1,
-            jnp.where(accept, 0, c["dec_streak"])
-        ).astype(jnp.int32)
-        step_streak = jnp.where(
-            small_step, c["step_streak"] + 1,
-            jnp.where(accept, 0, c["step_streak"])
-        ).astype(jnp.int32)
-        STREAK = 3
-        status = jnp.where(
-            gradnorm <= params.gradient_tolerance,
-            GRAD_TOL,
-            jnp.where(
-                pgradnorm <= params.preconditioned_gradient_tolerance,
-                PRECON_GRAD_TOL,
-                jnp.where(
-                    dec_streak >= STREAK,
-                    REL_DECREASE,
-                    jnp.where(
-                        step_streak >= STREAK,
-                        STEPSIZE,
-                        jnp.where(
-                            Delta_new < params.delta_tolerance,
-                            DELTA_TOL, RUNNING),
-                    ),
-                ),
-            ),
-        ).astype(jnp.int32)
-        # adaptive ramp end: hard budget OR objective plateau over the
-        # last `stall_window` iterations (see `tnt._tnt_chunk`)
-        hist_f = c["hist_f"].at[k].set(f_new)
-        f_lag = hist_f[jnp.maximum(k - stall_window, 0)]
-        plateaued = jnp.logical_and(
-            jnp.logical_and(stall_window > 0, k >= stall_window),
-            (f_lag - f_new)
-            < stall_window.astype(f32) * stall_tol * jnp.abs(f_new),
-        )
-        boundary = jnp.logical_and(
-            in_ramp,
-            jnp.logical_and(
-                jnp.logical_or(k + 1 == ramp_until, plateaued),
-                status == RUNNING,
-            ),
-        )
-        stall_now = jnp.logical_or(
-            jnp.logical_or(status == REL_DECREASE, status == STEPSIZE),
-            status == DELTA_TOL,
-        )
-        lift_now = jnp.logical_and(boundary, gradnorm > lift_grad_norm)
-        promote = jnp.logical_or(
-            jnp.logical_and(in_ramp, stall_now),
-            jnp.logical_and(boundary, gradnorm <= lift_grad_norm),
-        )
-        status = jnp.where(
-            lift_now, RAMP_EXIT, jnp.where(promote, RUNNING, status)
-        ).astype(jnp.int32)
-        finish_new = jnp.logical_or(c["finish"], promote)
-        Delta_new = jnp.where(promote, params.delta0, Delta_new)
-        dec_streak = jnp.where(promote, 0, dec_streak).astype(jnp.int32)
-        step_streak = jnp.where(promote, 0, step_streak).astype(jnp.int32)
-
-        return dict(
-            Y=Y_new, f=f_new, grad=grad_new, nablaF=nablaF_new,
-            gradnorm=gradnorm, pgradnorm=pgradnorm,
-            Delta=Delta_new, k=k + 1, status=status, finish=finish_new,
-            dec_streak=dec_streak, step_streak=step_streak,
-            hist_f=hist_f,
-            hist_g=c["hist_g"].at[k].set(gradnorm),
-            hist_pg=c["hist_pg"].at[k].set(pgradnorm),
-            hist_s=c["hist_s"].at[k].set(jnp.where(accept, step_norm, 0.0)),
-            hist_i=c["hist_i"].at[k].set(inner_k),
-        )
-
-    return jax.lax.while_loop(cond, body, carry)
 
 
 def tnt_solve_tiles(
@@ -253,21 +67,42 @@ def tnt_solve_tiles(
         max_time = params.max_computation_time
 
     Y0_tiles = tile_mod.to_tiles(plan, jnp.asarray(Y0, jnp.float32))
-    carry = _init_tiles(kern, Y0_tiles, iter_cap)
+    zeros = tuple(jnp.zeros_like(t) for t in Y0_tiles)
+    Yt, nFt, gt, f_d, gn_d, pgn_d = kern.step(
+        Y0_tiles, zeros, jnp.asarray(0, jnp.int32))
+    f, gn, pgn = (float(x) for x in jax.device_get((f_d, gn_d, pgn_d)))
+    if gn <= params.gradient_tolerance:
+        status = GRAD_TOL
+    elif pgn <= params.preconditioned_gradient_tolerance:
+        status = PRECON_GRAD_TOL
+    else:
+        status = RUNNING
+
+    H = int(iter_cap)
+    hists = (
+        jnp.zeros((H,), jnp.float32), jnp.zeros((H,), jnp.float32),
+        jnp.zeros((H,), jnp.float32), jnp.zeros((H,), jnp.float32),
+        jnp.zeros((H,), jnp.int32),
+    )
     k = 0
-    status = int(carry["status"])
+    Delta = float(params.delta0)
+    finish = dec = stp = 0
     timed_out = False
     while status == RUNNING and k < iter_cap:
         chunk_end = min(k + CHUNK_ITERS, iter_cap)
-        carry = _chunk_tiles(
-            kern, carry,
-            np.int32(iter_cap), np.int32(tcg_cap), np.int32(chunk_end),
-            np.int32(ramp_iterations), np.int32(ramp_tcg),
-            np.float32(lift_grad_norm),
-            np.int32(stall_window), np.float32(stall_tol),
-        )
-        k = int(carry["k"])
-        status = int(carry["status"])
+        fscal = jnp.asarray(np.array(
+            [f, gn, pgn, Delta, lift_grad_norm, stall_tol, 0.0, 0.0],
+            np.float32))
+        iscal = jnp.asarray(np.array(
+            [k, status, finish, dec, stp, chunk_end, tcg_cap,
+             int(ramp_iterations), int(ramp_tcg), int(stall_window), 0, 0],
+            np.int32))
+        Yt, gt, nFt, fs, isc, hists = kern.chunk(
+            Yt, gt, nFt, fscal, iscal, hists, history_len=H)
+        fs = np.asarray(jax.device_get(fs), np.float64)
+        isc = np.asarray(jax.device_get(isc), np.int64)
+        f, gn, pgn, Delta = (float(x) for x in fs)
+        k, status, finish, dec, stp = (int(x) for x in isc)
         if (
             status == RUNNING and k < iter_cap
             and max_time is not None
@@ -276,27 +111,22 @@ def tnt_solve_tiles(
             timed_out = True
             break
 
-    Y_final = tile_mod.from_tiles(plan, *carry["Y"])
-    out = jax.device_get(
-        {k_: v for k_, v in carry.items()
-         if k_ not in ("Y", "grad", "nablaF")}
-    )
+    Y_final = tile_mod.from_tiles(plan, *Yt)
+    h = jax.device_get(hists)
     elapsed = time.time() - t0
-    k = int(out["k"])
-    status = int(out["status"])
     if status == RUNNING:
         status = TIME_CAP if timed_out else MAX_ITERS
     return TNTResult(
-        f=float(out["f"]),
+        f=f,
         x=Y_final,
-        gradfx_norm=float(out["gradnorm"]),
-        preconditioned_gradfx_norm=float(out["pgradnorm"]),
+        gradfx_norm=gn,
+        preconditioned_gradfx_norm=pgn,
         num_iterations=k,
-        inner_iterations=np.asarray(out["hist_i"][:k]),
-        objective_values=np.asarray(out["hist_f"][:k]),
-        gradient_norms=np.asarray(out["hist_g"][:k]),
-        preconditioned_gradient_norms=np.asarray(out["hist_pg"][:k]),
-        update_step_norms=np.asarray(out["hist_s"][:k]),
+        inner_iterations=np.asarray(h[4][:k]),
+        objective_values=np.asarray(h[0][:k]),
+        gradient_norms=np.asarray(h[1][:k]),
+        preconditioned_gradient_norms=np.asarray(h[2][:k]),
+        update_step_norms=np.asarray(h[3][:k]),
         elapsed_time=elapsed,
         status=STATUS_NAMES.get(status, str(status)),
         iterates=None,
