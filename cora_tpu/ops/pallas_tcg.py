@@ -90,8 +90,12 @@ class PallasTNT:
 
     # doubling-scan propagators stored bf16: preconditioner-internal data
     # (only shapes the tCG search space), and the VMEM budget of the
-    # whole-chunk kernel needs the headroom
-    BF16_KEYS = ("AF", "AB")
+    # whole-chunk kernel needs the headroom. Storage rounding cannot break
+    # the preconditioner's positive-definiteness: the backward solve is
+    # evaluated as the exact adjoint of the forward network
+    # (`TileOps._solve_B`), so P = (L̃^{-1})^T L̃^{-1} for the SAME stored
+    # propagators.
+    BF16_KEYS = ("AF",)
 
     def __init__(self, plan: TilePlan, params, interpret: bool = False):
         self.plan = plan
@@ -248,6 +252,88 @@ class PallasTNT:
         step_norm = jnp.sqrt(ops.dot(s, s))
         return s, mdec, hit, k, step_norm
 
+    def _tcg_core_ref(self, ops, s_s, r_s, d_s, g_ref, Y_ref, nF_ref,
+                      delta_v, miters):
+        """Ref-state variant of `_tcg_core` for the chunk kernel: the CG
+        vectors live in VMEM scratch refs and the while_loop carries only
+        scalars (Mosaic stack-allocates value-carried tiles)."""
+        f32 = jnp.float32
+        kappa = float(self.params.kappa_fgr)
+        theta = float(self.params.theta)
+        eps = jnp.asarray(np.finfo(np.float32).tiny, f32)
+
+        def read3(rr):
+            return tuple(x[:] for x in rr)
+
+        def write3(rr, vals):
+            for x, v in zip(rr, vals):
+                x[:] = v
+
+        gv = read3(g_ref)
+        Yv = read3(Y_ref)
+        z0 = ops.tangent_project(Yv, ops.precon_solve(gv))
+        rz0 = ops.dot(gv, z0)
+        sq = jnp.sqrt(jnp.maximum(rz0, 0.0)) + eps
+        rz_stop = rz0 * jnp.minimum(
+            f32(kappa), jnp.exp(f32(theta) * jnp.log(sq))) ** 2
+        write3(s_s, _tree3(jnp.zeros_like, gv))
+        write3(r_s, gv)
+        write3(d_s, _tree3(lambda z: -z, z0))
+
+        def cond(c):
+            (rz, phi, sigma, dmd, mdec, k, done, hit) = c
+            return jnp.logical_and(k < miters, jnp.logical_not(done))
+
+        def body(c):
+            (rz, phi, sigma, dmd, mdec, k, done, hit) = c
+            d = read3(d_s)
+            Hd = ops.hvp(read3(Y_ref), read3(nF_ref), d)
+            dHd = ops.dot(d, Hd)
+            alpha = rz / jnp.where(dHd == 0, eps, dHd)
+            phi_next = phi + 2.0 * alpha * sigma + alpha * alpha * dmd
+            crossed = phi_next >= delta_v * delta_v
+            negcurv = dHd <= 0
+            stop_here = jnp.logical_or(crossed, negcurv)
+
+            disc = jnp.maximum(
+                sigma * sigma + dmd * (delta_v * delta_v - phi), 0.0)
+            tau = (-sigma + jnp.sqrt(disc)) / jnp.where(dmd == 0, eps, dmd)
+            coef = jnp.where(stop_here, tau, alpha)
+            write3(s_s, _tree3(lambda a, b: a + coef * b, read3(s_s), d))
+            mdec_new = jnp.where(
+                stop_here,
+                mdec + tau * rz - 0.5 * tau * tau * dHd,
+                mdec + 0.5 * alpha * rz,
+            )
+            r_new = _tree3(lambda a, b: a + alpha * b, read3(r_s), Hd)
+            write3(r_s, r_new)
+            z_new = ops.tangent_project(
+                read3(Y_ref), ops.precon_solve(r_new))
+            rz_new = ops.dot(r_new, z_new)
+            converged = rz_new <= rz_stop
+            beta = rz_new / jnp.where(rz == 0, eps, rz)
+            write3(d_s, _tree3(lambda zz, dd: -zz + beta * dd, z_new, d))
+            done_new = jnp.logical_or(stop_here, converged)
+            return (
+                rz_new,
+                jnp.where(stop_here, phi, phi_next),
+                beta * (sigma + alpha * dmd),
+                rz_new + beta * beta * dmd,
+                mdec_new, k + jnp.int32(1), done_new,
+                jnp.logical_or(hit, stop_here),
+            )
+
+        init = (
+            rz0, jnp.zeros((), f32), jnp.zeros((), f32), rz0,
+            jnp.zeros((), f32), jnp.zeros((), jnp.int32),
+            rz0 <= 0.0, jnp.zeros((), jnp.bool_),
+        )
+        rz, phi, sigma, dmd, mdec, k, done, hit = jax.lax.while_loop(
+            cond, body, init)
+        sv = read3(s_s)
+        step_norm = jnp.sqrt(ops.dot(sv, sv))
+        return mdec, hit, k, step_norm
+
     # -- step kernel: retract + f + grad + pgradnorm -------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, Y, s, do_retract):
@@ -375,20 +461,33 @@ class PallasTNT:
             fs = refs[10 + nck]
             isc = refs[11 + nck]
             h_in = refs[12 + nck:17 + nck]
-            outs = refs[17 + nck:]
+            outs = refs[17 + nck:17 + nck + 16]
+            scratch = refs[17 + nck + 16:]
+            s_s, r_s, d_s = scratch[0:3], scratch[3:6], scratch[6:9]
             Y_o, g_o, nF_o = outs[0:3], outs[3:6], outs[6:9]
             fs_o, isc_o = outs[9], outs[10]
             h_out = outs[11:16]
             ops = self._ops(consts, capinv)
 
+            def read3(rr):
+                return tuple(x[:] for x in rr)
+
+            def write3(rr, vals):
+                for x, v in zip(rr, vals):
+                    x[:] = v
+
             # carry histories through (the plateau detector reads lagged
             # f values from the output ref inside the loop body)
-            def copy_h(i, _):
+            def copy_h(i, carry):
                 for a, b in zip(h_in, h_out):
                     b[i] = a[i]
-                return 0
+                return carry
 
-            jax.lax.fori_loop(0, history_len, copy_h, 0)
+            # int32 bounds: with x64 enabled a Python-int bound makes an
+            # i64 loop counter, which Mosaic cannot lower
+            jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(history_len), copy_h,
+                jnp.int32(0))
 
             stop_at = isc[5]
             tcg_cap = isc[6]
@@ -399,27 +498,31 @@ class PallasTNT:
             stall_tol = fs[5]
 
             def cond(c):
-                return jnp.logical_and(c[7] < stop_at, c[8] == RUNNING)
+                return jnp.logical_and(c[4] < stop_at, c[5] == RUNNING)
 
             def body(c):
-                (Yv, gv, nFv, f, gradnorm, pgradnorm, Delta, k, status,
+                (f, gradnorm, pgradnorm, Delta, k, status,
                  finish, dec_streak, step_streak) = c
 
                 in_ramp = jnp.logical_and(
                     jnp.logical_not(finish), k < ramp_until)
-                s, mdec, hit_boundary, inner_k, step_norm = self._tcg_core(
-                    ops, gv, Yv, nFv, Delta,
+                mdec, hit_boundary, inner_k, step_norm = self._tcg_core_ref(
+                    ops, s_s, r_s, d_s, g_o, Y_o, nF_o, Delta,
                     jnp.where(in_ramp, ramp_tcg, tcg_cap),
                 )
+                Yv = read3(Y_o)
                 Yp, QYp, gradp, f_prop, gn_prop, pgn_prop = self._step_core(
-                    ops, Yv, s, None)
+                    ops, Yv, read3(s_s), None)
 
                 rho = (f - f_prop) / jnp.where(mdec == 0, tiny, mdec)
                 accept = jnp.logical_and(rho >= p.eta1, mdec > 0)
 
-                Y_new = _tree3(lambda a, b: jnp.where(accept, a, b), Yp, Yv)
-                g_new = _tree3(lambda a, b: jnp.where(accept, a, b), gradp, gv)
-                nF_new = _tree3(lambda a, b: jnp.where(accept, a, b), QYp, nFv)
+                write3(Y_o, _tree3(
+                    lambda a, b: jnp.where(accept, a, b), Yp, Yv))
+                write3(g_o, _tree3(
+                    lambda a, b: jnp.where(accept, a, b), gradp, read3(g_o)))
+                write3(nF_o, _tree3(
+                    lambda a, b: jnp.where(accept, a, b), QYp, read3(nF_o)))
                 f_new = jnp.where(accept, f_prop, f)
                 gradnorm = jnp.where(accept, gn_prop, gradnorm)
                 pgradnorm = jnp.where(accept, pgn_prop, pgradnorm)
@@ -435,36 +538,41 @@ class PallasTNT:
                     ),
                 )
 
+                # int literals MUST be explicit int32: a weak Python int
+                # inside jnp.where promotes to i64 under x64, and Mosaic
+                # cannot lower the i64->i32 narrowing (infinite recursion
+                # in _convert_helper)
+                i32 = jnp.int32
                 rel_decrease = (f - f_prop) / (jnp.abs(f) + tiny)
                 small_decrease = jnp.logical_and(
                     accept, rel_decrease < p.relative_decrease_tolerance)
                 small_step = jnp.logical_and(
                     accept, step_norm < p.stepsize_tolerance)
                 dec_streak = jnp.where(
-                    small_decrease, dec_streak + 1,
-                    jnp.where(accept, 0, dec_streak)).astype(jnp.int32)
+                    small_decrease, dec_streak + i32(1),
+                    jnp.where(accept, i32(0), dec_streak))
                 step_streak = jnp.where(
-                    small_step, step_streak + 1,
-                    jnp.where(accept, 0, step_streak)).astype(jnp.int32)
+                    small_step, step_streak + i32(1),
+                    jnp.where(accept, i32(0), step_streak))
                 status = jnp.where(
                     gradnorm <= p.gradient_tolerance,
-                    GRAD_TOL,
+                    i32(GRAD_TOL),
                     jnp.where(
                         pgradnorm <= p.preconditioned_gradient_tolerance,
-                        PRECON_GRAD_TOL,
+                        i32(PRECON_GRAD_TOL),
                         jnp.where(
-                            dec_streak >= STREAK,
-                            REL_DECREASE,
+                            dec_streak >= i32(STREAK),
+                            i32(REL_DECREASE),
                             jnp.where(
-                                step_streak >= STREAK,
-                                STEPSIZE,
+                                step_streak >= i32(STREAK),
+                                i32(STEPSIZE),
                                 jnp.where(
                                     Delta_new < p.delta_tolerance,
-                                    DELTA_TOL, RUNNING),
+                                    i32(DELTA_TOL), i32(RUNNING)),
                             ),
                         ),
                     ),
-                ).astype(jnp.int32)
+                )
 
                 # histories (written before the plateau read below)
                 h_out[0][k] = f_new
@@ -474,7 +582,7 @@ class PallasTNT:
                 h_out[4][k] = inner_k
 
                 # adaptive ramp end: hard budget OR objective plateau
-                f_lag = h_out[0][jnp.maximum(k - stall_window, 0)]
+                f_lag = h_out[0][jnp.maximum(k - stall_window, i32(0))]
                 plateaued = jnp.logical_and(
                     jnp.logical_and(stall_window > 0, k >= stall_window),
                     (f_lag - f_new)
@@ -497,40 +605,39 @@ class PallasTNT:
                     jnp.logical_and(boundary, gradnorm <= lift_grad_norm),
                 )
                 status = jnp.where(
-                    lift_now, RAMP_EXIT, jnp.where(promote, RUNNING, status)
-                ).astype(jnp.int32)
+                    lift_now, i32(RAMP_EXIT),
+                    jnp.where(promote, i32(RUNNING), status))
                 finish = jnp.logical_or(finish, promote)
                 Delta_new = jnp.where(promote, f32(p.delta0), Delta_new)
-                dec_streak = jnp.where(promote, 0, dec_streak).astype(jnp.int32)
-                step_streak = jnp.where(promote, 0, step_streak).astype(jnp.int32)
+                dec_streak = jnp.where(promote, i32(0), dec_streak)
+                step_streak = jnp.where(promote, i32(0), step_streak)
 
-                return (Y_new, g_new, nF_new, f_new, gradnorm, pgradnorm,
-                        Delta_new, k + 1, status, finish, dec_streak,
+                return (f_new, gradnorm, pgradnorm,
+                        Delta_new, k + i32(1), status, finish, dec_streak,
                         step_streak)
 
+            # state tiles live in the (input-aliased) output refs and the
+            # tCG scratch; the while_loop carries ONLY scalars — value-
+            # carried tiles blow Mosaic's stack allocator (62 MiB at
+            # plaza2 size)
             init = (
-                tuple(r[:] for r in Y_r),
-                tuple(r[:] for r in g_r),
-                tuple(r[:] for r in nF_r),
                 fs[0], fs[1], fs[2], fs[3],
                 isc[0], isc[1],
                 isc[2] > 0,
                 isc[3], isc[4],
             )
-            (Yv, gv, nFv, f, gradnorm, pgradnorm, Delta, k, status, finish,
+            (f, gradnorm, pgradnorm, Delta, k, status, finish,
              dec_streak, step_streak) = jax.lax.while_loop(cond, body, init)
 
-            for i in range(3):
-                Y_o[i][:] = Yv[i]
-                g_o[i][:] = gv[i]
-                nF_o[i][:] = nFv[i]
             fs_o[0] = f
             fs_o[1] = gradnorm
             fs_o[2] = pgradnorm
             fs_o[3] = Delta
             isc_o[0] = k
             isc_o[1] = status
-            isc_o[2] = finish.astype(jnp.int32)
+            # bool->int32 convert_element_type recurses in Mosaic lowering;
+            # select instead
+            isc_o[2] = jnp.where(finish, jnp.int32(1), jnp.int32(0))
             isc_o[3] = dec_streak
             isc_o[4] = step_streak
 
@@ -554,15 +661,18 @@ class PallasTNT:
             jax.ShapeDtypeStruct((history_len,), jnp.int32),
         )
         out_specs = tuple(self._tile_specs(9)) + (smem,) * 7
+        shapes3 = self._tile_shapes()
         out = pl.pallas_call(
             kernel,
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=out_specs,
-            # state tiles alias their outputs: the chunk loop reads them
-            # once at start and writes once at end, and the VMEM budget
-            # needs the headroom
+            # state tiles alias their outputs (they double as the loop's
+            # mutable state buffers); CG vectors live in scratch
             input_output_aliases={i: i for i in range(9)},
+            scratch_shapes=[
+                pltpu.VMEM(shapes3[i % 3], jnp.float32) for i in range(9)
+            ],
             interpret=self.interpret,
         )(*Y, *grad, *nablaF, *const_args, self.capinv, fscal, iscal, *hists)
         Y_o, g_o, nF_o = out[0:3], out[3:6], out[6:9]

@@ -230,37 +230,34 @@ def build_tile_plan(
 
     Linv = F.Linv  # (nb, w, w)
     LinvT = np.swapaxes(Linv, 1, 2)
-    Mshift = np.zeros_like(F.M)
-    if nb > 1:
-        Mshift[:-1] = np.swapaxes(F.M[1:], 1, 2)
     A_fwd = -np.einsum("nab,nbc->nac", Linv, F.M)
-    A_bwd = -np.einsum("nab,nbc->nac", LinvT, Mshift)
     const["Linv"] = blocks_to_tile(Linv)
     const["LinvT"] = blocks_to_tile(LinvT)
 
-    def scan_levels(A, reverse):
+    def scan_levels(A):
         out = np.zeros((levels * w * w, n_pad), np.float64)
         Ak = A.copy()
         for k in range(levels):
             s = 1 << k
             Az = Ak.copy()
-            if reverse:
-                Az[max(nb - s, 0):] = 0.0
-            else:
-                Az[:s] = 0.0
+            Az[:s] = 0.0
             out[k * w * w:(k + 1) * w * w] = blocks_to_tile(Az)
             if s < nb:
                 An = Ak.copy()
-                if reverse:
-                    An[:nb - s] = np.einsum(
-                        "nab,nbc->nac", Ak[:nb - s], Ak[s:])
-                else:
-                    An[s:] = np.einsum("nab,nbc->nac", Ak[s:], Ak[:nb - s])
+                An[s:] = np.einsum("nab,nbc->nac", Ak[s:], Ak[:nb - s])
                 Ak = An
         return out
 
-    const["AF"] = scan_levels(A_fwd, reverse=False)
-    const["AB"] = scan_levels(A_bwd, reverse=True)
+    # forward-substitution doubling propagators ONLY: the backward
+    # (L^T) solve is evaluated as the EXACT ADJOINT of the forward
+    # network, so the preconditioner is symmetric PSD by construction
+    # (P = (L̃^{-1})^T L̃^{-1}) regardless of storage rounding, and the
+    # AB tile bundle disappears (half the constant VMEM)
+    const["AF"] = scan_levels(A_fwd)
+    scanmask = np.zeros((max(levels, 1), n_pad), np.float64)
+    for k in range(levels):
+        scanmask[k, :max(nb - (1 << k), 0)] = 1.0
+    const["scanmask"] = scanmask
 
     # sphere pivots + coupling values in slot layout
     spiv_inv = rows(2 * S)
@@ -721,21 +718,43 @@ class TileOps:
                     - self.crow("cval", srow) * (xlm - x_tr[p])))
         return x_b, jnp.concatenate(oS, axis=0), oL
 
+    def _band_matvec_T(self, name, u, offset=0):
+        """out[ein] = sum_e A[e, ein] * u[e] — the exact adjoint of
+        `_band_matvec` (same coefficient rows, transposed indexing)."""
+        jnp = self.jnp
+        w, r = self.plan.w, self.plan.r
+        out = []
+        for ein in range(w):
+            acc = None
+            for e in range(w):
+                row = self.crow(name, offset + e * w + ein)
+                term = row * _grp(u, e, r)
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return jnp.concatenate(out, axis=0)
+
     def _solve_B(self, rhs_b):
-        """Banded solve via L then L^T sweeps as doubling scans with
-        precomputed per-level propagators."""
+        """Banded solve B^{-1} = (L̃^{-1})^T L̃^{-1} with L̃^{-1} the
+        forward doubling network (Linv block matvec + AF propagators) and
+        its backward sweep the EXACT ADJOINT of that network: reversed
+        level order, transposed coefficient blocks, negated rolls. The
+        composed operator is symmetric PSD by construction — rounding in
+        the stored propagators perturbs L̃ but can never break
+        ⟨c, B^{-1} c⟩ = ‖L̃^{-1}c‖² ≥ 0 (a one-sided factor evaluated
+        forward and adjoint)."""
         w = self.plan.w
         u = self._band_matvec("Linv", rhs_b)
         for k in range(self.plan.levels):
             s = 1 << k
             u = u + self._band_matvec(
                 "AF", self.roll(u, s), offset=k * w * w)
-        x = self._band_matvec("LinvT", u)
-        for k in range(self.plan.levels):
+        x = u
+        for k in reversed(range(self.plan.levels)):
             s = 1 << k
-            x = x + self._band_matvec(
-                "AB", self.roll(x, -s), offset=k * w * w)
-        return x
+            mask = _row(self.C["scanmask"], k)
+            x = x + mask * self.roll(
+                self._band_matvec_T("AF", x, offset=k * w * w), -s)
+        return self._band_matvec("LinvT", x)
 
     # -- retraction / manifold projection ------------------------------------
     def project_manifold(self, A):

@@ -428,7 +428,16 @@ def device_factor(pd: ProblemData, F: BandedFactorHost, dtype=None):
     )
 
 
-def banded_apply(pd: ProblemData, fac: dict, V):
+def banded_apply_seq(pd: ProblemData, fac: dict, V):
+    """`banded_apply` with SEQUENTIAL `lax.scan` recurrences — for the
+    host CPU backend, where the log-depth associative scan's unrolled
+    graph costs ~90 s of XLA:CPU compile time (the float64 polish path)
+    while a sequential scan compiles in seconds and runs just as fast on
+    a CPU."""
+    return banded_apply(pd, fac, V, sequential=True)
+
+
+def banded_apply(pd: ProblemData, fac: dict, V, sequential: bool = False):
     """V ↦ M⁻¹V from a `device_factor` pytree (functional form of the
     banded + Woodbury solve; log-depth associative scans)."""
     import jax.numpy as jnp
@@ -450,6 +459,16 @@ def banded_apply(pd: ProblemData, fac: dict, V):
     tr0 = pd.rot_size + pd.m
 
     def _affine_scan(A, c, reverse=False):
+        if sequential:
+            def step(carry, Ac):
+                Ai, ci = Ac
+                u = bmm(Ai, carry) + ci
+                return u, u
+
+            init = jnp.zeros_like(c[0])
+            _, us = lax.scan(step, init, (A, c), reverse=reverse)
+            return us
+
         def combine(x, y):
             A1, b1 = x
             A2, b2 = y

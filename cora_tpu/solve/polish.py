@@ -264,8 +264,14 @@ def _jax_polish_kernels(problem, max_cond: float):
         Preconditioner.REGULARIZED_CHOLESKY, dtype=np.float64,
         max_cond=max_cond, device=cpu,
     )
+    # sequential-scan preconditioner apply: the associative scan's
+    # unrolled graph costs ~90 s of XLA:CPU compile per rank shape
+    from cora_tpu.precond import PrecondOp
+    from cora_tpu.precond.banded import banded_apply_seq
 
-    @partial(jax.jit, static_argnames=("max_cg",))
+    precon_raw = PrecondOp(banded_apply_seq, precon_raw.fac, precon_raw.pd)
+
+    @jax.jit
     def newton_step(Y, tau, max_cg):
         """f/grad at Y plus the damped-Newton direction s from a
         preconditioned-CG solve of (Hess + τI)s = −grad (negative

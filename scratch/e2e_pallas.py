@@ -60,15 +60,9 @@ print("== timed ==", flush=True)
 run("pallas-s0", "auto")
 run("pallas-s0b", "auto")
 
-# robustness sweep: seeds x tcg budgets (warm caches for ranks visited)
 print("== sweep ==", flush=True)
 for seed in range(5):
     run(f"pallas-seed{seed}", "auto", seed=seed)
 for tcg in (12, 16):
     run(f"pallas-tcg{tcg}", "auto", tcg=tcg)
-
-# XLA path on the same tunnel state for a fair comparison
-print("== xla reference ==", flush=True)
-run("xla-warm", "never")
-run("xla-s0", "never")
 print("ALL DONE", flush=True)
