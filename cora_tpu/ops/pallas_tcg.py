@@ -68,12 +68,22 @@ def _mk_roll(n_pad):
     from jax.experimental.pallas import tpu as pltpu
 
     def roll(x, s):
-        s = int(s) % n_pad
-        if s == 0:
-            return x
-        return pltpu.roll(x, shift=np.int32(s), axis=1)
+        if isinstance(s, (int, np.integer)):
+            s = int(s) % n_pad
+            if s == 0:
+                return x
+            return pltpu.roll(x, shift=np.int32(s), axis=1)
+        # traced shift (level loops): tpu.dynamic_rotate takes an i32
+        # scalar; normalize negatives
+        s = jnp.mod(s.astype(jnp.int32), jnp.int32(n_pad))
+        return pltpu.roll(x, shift=s, axis=1)
 
     return roll
+
+
+def _dynrow_ref(ref, i):
+    # dynamic leading-dim read of a 3D constant ref -> (rows, lanes) value
+    return ref[i]
 
 
 def _tree3(fn, *trees):
@@ -166,7 +176,8 @@ class PallasTNT:
     def _ops(self, const_refs, capinv_ref):
         C = dict(zip(self._ckeys, const_refs))
         C["capinv"] = capinv_ref
-        return TileOps(self.plan, C, _mk_roll(self.plan.n_pad), jnp)
+        return TileOps(self.plan, C, _mk_roll(self.plan.n_pad), jnp,
+                       dynrow=_dynrow_ref)
 
     # -- shared kernel cores (used by the standalone kernels AND the
     # whole-chunk kernel) ----------------------------------------------------
@@ -476,6 +487,16 @@ class PallasTNT:
                 for x, v in zip(rr, vals):
                     x[:] = v
 
+            # the HBM buffers are input/output-aliased, but each side
+            # gets its OWN VMEM window — the output windows start
+            # undefined and must be seeded from the inputs
+            for dst, srcr in zip(Y_o, Y_r):
+                dst[:] = srcr[:]
+            for dst, srcr in zip(g_o, g_r):
+                dst[:] = srcr[:]
+            for dst, srcr in zip(nF_o, nF_r):
+                dst[:] = srcr[:]
+
             # carry histories through (the plateau detector reads lagged
             # f values from the output ref inside the loop body)
             def copy_h(i, carry):
@@ -673,6 +694,11 @@ class PallasTNT:
             scratch_shapes=[
                 pltpu.VMEM(shapes3[i % 3], jnp.float32) for i in range(9)
             ],
+            compiler_params=pltpu.CompilerParams(
+                # the default scoped-vmem limit is 16 MiB; v5e has 128 MiB
+                # of VMEM — let the allocator use what the chip has
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=self.interpret,
         )(*Y, *grad, *nablaF, *const_args, self.capinv, fscal, iscal, *hists)
         Y_o, g_o, nF_o = out[0:3], out[3:6], out[6:9]

@@ -235,13 +235,16 @@ def build_tile_plan(
     const["LinvT"] = blocks_to_tile(LinvT)
 
     def scan_levels(A):
-        out = np.zeros((levels * w * w, n_pad), np.float64)
+        # 3D (levels, w*w, n_pad): level k is dynamically indexed on the
+        # LEADING dim inside the kernel's level fori_loop (dynamic
+        # sublane offsets would need 8-alignment Mosaic can't prove)
+        out = np.zeros((max(levels, 1), w * w, n_pad), np.float64)
         Ak = A.copy()
         for k in range(levels):
             s = 1 << k
             Az = Ak.copy()
             Az[:s] = 0.0
-            out[k * w * w:(k + 1) * w * w] = blocks_to_tile(Az)
+            out[k] = blocks_to_tile(Az)
             if s < nb:
                 An = Ak.copy()
                 An[s:] = np.einsum("nab,nbc->nac", Ak[s:], Ak[:nb - s])
@@ -254,9 +257,9 @@ def build_tile_plan(
     # (P = (L̃^{-1})^T L̃^{-1}) regardless of storage rounding, and the
     # AB tile bundle disappears (half the constant VMEM)
     const["AF"] = scan_levels(A_fwd)
-    scanmask = np.zeros((max(levels, 1), n_pad), np.float64)
+    scanmask = np.zeros((max(levels, 1), 1, n_pad), np.float64)
     for k in range(levels):
-        scanmask[k, :max(nb - (1 << k), 0)] = 1.0
+        scanmask[k, 0, :max(nb - (1 << k), 0)] = 1.0
     const["scanmask"] = scanmask
 
     # sphere pivots + coupling values in slot layout
@@ -382,14 +385,23 @@ class TileOps:
 
     Instantiated with static plan metadata and the constants mapping;
     methods are pure functions of tile values (safe inside jit, Pallas
-    kernels, and lax.while_loop bodies).
+    kernels, and lax.while_loop bodies). `dynrow` reads one coefficient
+    row at a TRACED index (host: dynamic_slice; kernel: ref `pl.ds`).
     """
 
-    def __init__(self, plan: TilePlan, C, roll, jnp):
+    def __init__(self, plan: TilePlan, C, roll, jnp, dynrow=None):
         self.plan = plan
         self.C = C
         self.roll = roll
         self.jnp = jnp
+        if dynrow is None:
+            import jax.lax as _lax
+
+            def dynrow(arr, i):
+                # dynamic LEADING-dim index of a 3D constant -> 2D block
+                return _lax.dynamic_index_in_dim(arr, i, 0, keepdims=False)
+
+        self.dynrow = dynrow
 
     # -- helpers ------------------------------------------------------------
     def rot(self, P, p, a):
@@ -718,17 +730,19 @@ class TileOps:
                     - self.crow("cval", srow) * (xlm - x_tr[p])))
         return x_b, jnp.concatenate(oS, axis=0), oL
 
-    def _band_matvec_T(self, name, u, offset=0):
-        """out[ein] = sum_e A[e, ein] * u[e] — the exact adjoint of
-        `_band_matvec` (same coefficient rows, transposed indexing)."""
+    def _band_matvec_lvl(self, lvl, u, transpose=False):
+        """`_band_matvec` against one level's (w², n_pad) coefficient
+        block (value); transpose=True gives the exact adjoint
+        out[b] = Σ_a A[a,b]·u[a]."""
         jnp = self.jnp
         w, r = self.plan.w, self.plan.r
         out = []
-        for ein in range(w):
+        for a in range(w):
             acc = None
-            for e in range(w):
-                row = self.crow(name, offset + e * w + ein)
-                term = row * _grp(u, e, r)
+            for b in range(w):
+                idx = (b * w + a) if transpose else (a * w + b)
+                row = lvl[idx:idx + 1, :]
+                term = row * _grp(u, b, r)
                 acc = term if acc is None else acc + term
             out.append(acc)
         return jnp.concatenate(out, axis=0)
@@ -741,20 +755,33 @@ class TileOps:
         composed operator is symmetric PSD by construction — rounding in
         the stored propagators perturbs L̃ but can never break
         ⟨c, B^{-1} c⟩ = ‖L̃^{-1}c‖² ≥ 0 (a one-sided factor evaluated
-        forward and adjoint)."""
-        w = self.plan.w
+        forward and adjoint). Level loops run as fori_loops with dynamic
+        propagator-row indexing: unrolling all levels blew Mosaic's
+        VMEM stack allocator at plaza2 size."""
+        import jax.lax as lax
+
+        jnp = self.jnp
+        L = self.plan.levels
+        i32 = jnp.int32
         u = self._band_matvec("Linv", rhs_b)
-        for k in range(self.plan.levels):
-            s = 1 << k
-            u = u + self._band_matvec(
-                "AF", self.roll(u, s), offset=k * w * w)
-        x = u
-        for k in reversed(range(self.plan.levels)):
-            s = 1 << k
-            mask = _row(self.C["scanmask"], k)
-            x = x + mask * self.roll(
-                self._band_matvec_T("AF", x, offset=k * w * w), -s)
-        return self._band_matvec("LinvT", x)
+        if L:
+            def fwd(k, u):
+                s = jnp.left_shift(i32(1), k)
+                lvl = self.dynrow(self.C["AF"], k)
+                return u + self._band_matvec_lvl(lvl, self.roll(u, s))
+
+            u = lax.fori_loop(i32(0), i32(L), fwd, u)
+
+            def bwd(j, x):
+                k = i32(L - 1) - j
+                s = jnp.left_shift(i32(1), k)
+                lvl = self.dynrow(self.C["AF"], k)
+                mask = self.dynrow(self.C["scanmask"], k)
+                return x + mask * self.roll(
+                    self._band_matvec_lvl(lvl, x, transpose=True), -s)
+
+            u = lax.fori_loop(i32(0), i32(L), bwd, u)
+        return self._band_matvec("LinvT", u)
 
     # -- retraction / manifold projection ------------------------------------
     def project_manifold(self, A):
