@@ -704,3 +704,54 @@ class PallasTNT:
         Y_o, g_o, nF_o = out[0:3], out[3:6], out[6:9]
         fs_o, isc_o = out[9], out[10]
         return Y_o, g_o, nF_o, fs_o, isc_o, out[11:16]
+
+    # -- escape-ladder kernel: all ±α saddle-escape trials in one dispatch ---
+    @functools.partial(jax.jit, static_argnums=0)
+    def ladder(self, Y, Ydot, signed_alphas):
+        """Evaluate (f, |grad|, |pgrad|) at retract(Y, α·Ẏ) for every
+        signed step length in one kernel (reference saddleEscape
+        backtracking, `src/CORA.cpp:245-350`; 48 sequential XLA trials
+        cost ~0.45 s in dispatch overhead through the tunnel)."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nck = len(self._ckeys)
+        A = int(signed_alphas.shape[0])
+
+        def kernel(*refs):
+            Y_r = refs[0:3]
+            Yd_r = refs[3:6]
+            consts = refs[6:6 + nck]
+            capinv = refs[6 + nck]
+            al = refs[7 + nck]
+            out = refs[8 + nck]
+            ops = self._ops(consts, capinv)
+            Yv = tuple(x[:] for x in Y_r)
+            Ydv = tuple(x[:] for x in Yd_r)
+
+            def body(i, carry):
+                a = al[i]
+                sv = _tree3(lambda t: a * t, Ydv)
+                _, _, _, f, gn, pgn = self._step_core(ops, Yv, sv, None)
+                out[i] = f
+                out[A + i] = gn
+                out[2 * A + i] = pgn
+                return carry
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(A), body, jnp.int32(0))
+
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        const_args = [self.consts[k] for k in self._ckeys]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3 * A,), jnp.float32),
+            in_specs=(self._tile_specs(6) + self._tile_specs(nck)
+                      + [smem, smem]),
+            out_specs=smem,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=self.interpret,
+        )(*Y, *Ydot, *const_args, self.capinv,
+          signed_alphas.astype(jnp.float32))
+        return out[:A], out[A:2 * A], out[2 * A:]

@@ -33,6 +33,11 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 
+# fixed rank width the polish pads to (zero columns are exactly invariant
+# under the whole polish; one width = one XLA:CPU compile per problem)
+POLISH_PAD_RANK = 6
+
+
 @dataclasses.dataclass
 class PolishResult:
     Y: np.ndarray
@@ -385,50 +390,63 @@ def polish_solution(
     pd64, newton_step, probe, probe_ladder = _jax_polish_kernels(
         problem, max_cond)
     cpu = _cpu_device()
+    r_in = int(np.asarray(Y).shape[1])
+    # pad the rank to a fixed width: zero columns are invariant under the
+    # whole polish (Stiefel blocks stay row-orthonormal, gradients and CG
+    # iterates have identically-zero padded columns), and one padded
+    # width means ONE XLA:CPU compile of the Newton/ladder programs per
+    # problem instead of one ~30 s compile per staircase rank
+    r_pad = max(r_in, POLISH_PAD_RANK)
     with jax.default_device(cpu):
         from cora_tpu.ops.riemannian import project_to_manifold as _jp
 
-        Y = _jp(pd64, jnp.asarray(np.asarray(Y, np.float64)))
-    t0 = time.time()
+        Y_np = np.zeros((np.asarray(Y).shape[0], r_pad), np.float64)
+        Y_np[:, :r_in] = np.asarray(Y, np.float64)
+        Y = _jp(pd64, jnp.asarray(Y_np))
+        t0 = time.time()
 
-    f = float("nan")
-    gn = float("inf")
-    status = "max_iterations"
-    k = 0
-    for k in range(1, max_iterations + 1):
-        if time_budget is not None and time.time() - t0 > time_budget:
-            status = "time_budget"
-            break
-        gn_prev = gn
-        f_, grad, gn_, s, gdir, _ = newton_step(
-            Y, jnp.minimum(1.0, gn_prev if np.isfinite(gn_prev) else 1.0),
-            max_tcg_iterations,
-        )
-        f, gn = float(f_), float(gn_)
-        if gn <= grad_tol:
-            status = "gradient_tolerance"
-            break
+        f = float("nan")
+        gn = float("inf")
+        status = "max_iterations"
+        k = 0
+        for k in range(1, max_iterations + 1):
+            if time_budget is not None and time.time() - t0 > time_budget:
+                status = "time_budget"
+                break
+            gn_prev = gn
+            # every operand CPU-committed: a default-device (TPU) scalar
+            # here would drag each call through the device tunnel
+            tau = jnp.asarray(
+                min(1.0, gn_prev if np.isfinite(gn_prev) else 1.0),
+                jnp.float64)
+            f_, grad, gn_, s, gdir, _ = newton_step(
+                Y, tau, jnp.asarray(max_tcg_iterations, jnp.int64))
+            f, gn = float(f_), float(gn_)
+            if gn <= grad_tol:
+                status = "gradient_tolerance"
+                break
 
-        gdir = float(gdir)
-        # batched Armijo ladder: one dispatch evaluates every candidate
-        alphas = 0.5 ** np.arange(16, dtype=np.float64)
-        Y_props, f_props = probe_ladder(Y, s, jnp.asarray(alphas))
-        f_props = np.asarray(f_props)
-        ok = (f_props <= f + 1e-4 * alphas * gdir) | (f_props < f)
-        if not ok.any():
-            status = "line_search_failure"
-            break
-        i = int(np.argmax(ok))  # largest accepted step
-        Y = Y_props[i]
-        f = float(f_props[i])
-    else:
-        k = max_iterations
-
-    # final f/grad at the accepted point
-    f_, _, gn_, _, _, _ = newton_step(Y, jnp.asarray(1.0), 1)
+            gdir = float(gdir)
+            # batched Armijo ladder: one dispatch evaluates every candidate
+            alphas = 0.5 ** np.arange(16, dtype=np.float64)
+            Y_props, f_props = probe_ladder(Y, s, jnp.asarray(alphas))
+            f_props = np.asarray(f_props)
+            ok = (f_props <= f + 1e-4 * alphas * gdir) | (f_props < f)
+            if not ok.any():
+                status = "line_search_failure"
+                break
+            i = int(np.argmax(ok))  # largest accepted step
+            Y = Y_props[i]
+            f = float(f_props[i])
+    # final f/grad at the accepted point (same compiled program: the CG
+    # cap is a traced operand)
+    with jax.default_device(cpu):
+        f_, _, gn_, _, _, _ = newton_step(
+            Y, jnp.asarray(1.0, jnp.float64), jnp.asarray(1, jnp.int64))
     f, gn = float(f_), float(gn_)
     if gn <= grad_tol:
         status = "gradient_tolerance"
     return PolishResult(
-        Y=np.asarray(Y), f=f, grad_norm=gn, iterations=k, status=status
+        Y=np.asarray(Y)[:, :r_in], f=f, grad_norm=gn, iterations=k,
+        status=status,
     )

@@ -474,11 +474,30 @@ def solve_cora(
         v = v / max(np.linalg.norm(v), 1e-300)
         t_e = time.time()
         with timer("saddle_escape"):
-            X = saddle_escape(
-                pd, result.x, cert.theta, v, precon,
-                SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose,
-                op=solver_op,
-            )
+            X = None
+            if kernel_eligible:
+                from cora_tpu.solve.tnt_tiles import (
+                    get_kernel_backend,
+                    saddle_escape_tiles,
+                )
+
+                backend, _ = get_kernel_backend(
+                    problem, pd, int(result.x.shape[1]) + 1, config.tnt,
+                    max_cond=config.reg_chol_max_cond,
+                    interpret=kernel_interpret,
+                )
+                if backend is not None:
+                    X = saddle_escape_tiles(
+                        backend[0], backend[1], result.x, cert.theta, v,
+                        SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL,
+                        verbose=verbose,
+                    )
+            if X is None:
+                X = saddle_escape(
+                    pd, result.x, cert.theta, v, precon,
+                    SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL, verbose=verbose,
+                    op=solver_op,
+                )
         vprint(f"[t={time.time()-t_start:7.2f}s] saddle escape took "
                f"{time.time()-t_e:.2f}s")
 

@@ -523,8 +523,18 @@ def tnt_solve(
     k = 0
     status = int(carry["status"])
     timed_out = False
+    chunk_iters = CHUNK_ITERS
     while status == RUNNING and k < iter_cap:
-        chunk_end = min(k + CHUNK_ITERS, iter_cap)
+        # adaptive chunk sizing (reference per-rank `max_computation_time`,
+        # `src/CORA.cpp:106`): after the first chunk, bound the next chunk
+        # by the measured per-iteration cost so a slow chunk cannot
+        # overshoot the wall cap arbitrarily (matters at 100k-pose scale)
+        if k > 0 and max_time is not None:
+            per_iter = max((time.time() - t0) / max(k, 1), 1e-6)
+            remaining = max(max_time - (time.time() - t0), 0.0)
+            chunk_iters = int(
+                min(max(remaining * 0.5 / per_iter, 8), CHUNK_ITERS))
+        chunk_end = min(k + chunk_iters, iter_cap)
         carry = _tnt_chunk_jit(
             pd, carry, pfac, pfn, hp, op, log_iterates,
             np.int32(iter_cap), np.int32(tcg_cap), np.int32(chunk_end),

@@ -88,8 +88,16 @@ def tnt_solve_tiles(
     Delta = float(params.delta0)
     finish = dec = stp = 0
     timed_out = False
+    chunk_iters = CHUNK_ITERS
     while status == RUNNING and k < iter_cap:
-        chunk_end = min(k + CHUNK_ITERS, iter_cap)
+        # adaptive chunk sizing — see `tnt.tnt_solve` (per-rank time cap
+        # cannot overshoot by more than ~half the remaining budget)
+        if k > 0 and max_time is not None:
+            per_iter = max((time.time() - t0) / max(k, 1), 1e-6)
+            remaining = max(max_time - (time.time() - t0), 0.0)
+            chunk_iters = int(
+                min(max(remaining * 0.5 / per_iter, 8), CHUNK_ITERS))
+        chunk_end = min(k + chunk_iters, iter_cap)
         fscal = jnp.asarray(np.array(
             [f, gn, pgn, Delta, lift_grad_norm, stall_tol, 0.0, 0.0],
             np.float32))
@@ -180,3 +188,57 @@ def get_kernel_backend(problem, pd, rank: int, params: TNTParams,
             kern.capinv = proto.capinv
         cache["kernels"][kkey] = kern
     return (plan, kern), None
+
+
+def saddle_escape_tiles(
+    plan,
+    kern: PallasTNT,
+    Y,
+    theta: float,
+    v,
+    gradient_tolerance: float = 1e-4,
+    preconditioned_gradient_tolerance: float = 1e-4,
+    alpha_min: float = 1e-6,
+    verbose: bool = False,
+):
+    """Saddle escape on the kernel backend: the whole ±α trial ladder is
+    ONE kernel dispatch (`PallasTNT.ladder`). Semantics identical to
+    `cora_tpu.solve.saddle.saddle_escape` (reference `src/CORA.cpp:245-350`);
+    `plan`/`kern` must be built for rank r+1."""
+    from cora_tpu.solve.saddle import N_ALPHAS
+
+    N, r = Y.shape
+    Y_aug = jnp.concatenate(
+        [jnp.asarray(Y, jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=1)
+    vv = jnp.asarray(np.asarray(v).reshape(N), jnp.float32)
+    Ydot = jnp.zeros_like(Y_aug).at[:, -1].set(vv)
+    Yt = tile_mod.to_tiles(plan, Y_aug)
+    Ydt = tile_mod.to_tiles(plan, Ydot)
+
+    zeros = tuple(jnp.zeros_like(t) for t in Yt)
+    _, _, _, f_d, _, _ = kern.step(Yt, zeros, jnp.asarray(0, jnp.int32))
+    f_saddle = float(f_d)
+
+    alpha0 = max(16 * alpha_min, 100 * gradient_tolerance / abs(theta), 1.0)
+    alphas = alpha0 * 0.5 ** np.arange(N_ALPHAS)
+    signed = np.stack([alphas, -alphas], axis=1).reshape(-1)
+    f, gn, pgn = kern.ladder(Yt, Ydt, jnp.asarray(signed, jnp.float32))
+    f, gn, pgn = (np.asarray(x) for x in jax.device_get((f, gn, pgn)))
+
+    ok = (
+        (f < f_saddle)
+        & (gn > gradient_tolerance)
+        & (pgn > preconditioned_gradient_tolerance)
+    )
+    if ok.any():
+        best = int(np.argmax(ok))  # largest acceptable step first
+    elif float(f.min()) < f_saddle:
+        best = int(np.argmin(f))
+    else:
+        if verbose:
+            print("WARNING: saddle-escape line search failed to escape "
+                  "the saddle point")
+        return Y_aug
+    sv = tuple(float(signed[best]) * t for t in Ydt)
+    Yn, _, _, _, _, _ = kern.step(Yt, sv, jnp.asarray(1, jnp.int32))
+    return tile_mod.from_tiles(plan, *Yn)
