@@ -38,20 +38,64 @@ def _inv_sqrt_psd_eigh(M, eps=0.0):
 
 
 def _inv_sqrt_psd(M, iters: int = 25):
-    """Batched M^{-1/2} via trace-scaled Newton–Schulz iteration.
+    """Batched M^{-1/2}: exact closed form for d=2, trace-scaled
+    Newton–Schulz for d≥3.
 
-    Pure d×d matmuls — compiles to a tiny fused program and runs on the
-    MXU/VPU, unlike `eigh` whose QR-iteration lowering dominated the
-    compile time of the TNT while-loop on TPU. 25 iterations give
-    ~1e-12 accuracy for condition numbers up to 1e5 (tested in
-    tests/test_geometry.py); retraction inputs are near-orthonormal so
-    typical inputs converge in a handful of steps.
+    Pure d×d arithmetic — compiles to a tiny fused program and runs on
+    the MXU/VPU, unlike `eigh` whose QR-iteration lowering dominated the
+    compile time of the TNT while-loop on TPU.
+
+    d=2 closed form: with s = √det(M), M^{1/2} = (M + sI)/√(tr + 2s), so
+    M^{-1/2} = inv(M + sI)·√(tr + 2s) — exact and robust for ANY SPD
+    input (the float32 Newton–Schulz loses stability above condition
+    ~1/√ε ≈ 4·10³, and a uniform-random rank-2 block at a staircase
+    random init CAN be that singular — one such block at plaza2 scale
+    blew a whole solve to f ~ 10²⁴).
+
+    d≥3: Newton–Schulz with a degeneracy guard — near-singular blocks
+    (det/tr^d below threshold, i.e. random-init garbage, never a
+    retraction of an on-manifold point) get a trace-relative shift that
+    caps the condition number inside the float32 stability region.
     """
     d = M.shape[-1]
+    tiny = jnp.finfo(M.dtype).tiny
+    if d == 1:
+        return 1.0 / jnp.sqrt(jnp.maximum(M, tiny))
+    if d == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 1]
+        # degeneracy guard: a singular block has unbounded M^{-1/2} —
+        # shift it (only it) into a bounded regime. Healthy blocks
+        # (retraction inputs, M ≈ I) are exact.
+        tr0 = a + c
+        det0 = a * c - b * b
+        shift = jnp.where(
+            det0 < 1e-6 * jnp.maximum(tr0 * tr0, tiny), 1e-3 * tr0, 0.0)
+        a = a + shift
+        c = c + shift
+        s = jnp.sqrt(jnp.maximum(a * c - b * b, tiny))
+        t = jnp.sqrt(jnp.maximum(a + c + 2.0 * s, tiny))
+        det_sh = jnp.maximum((a + s) * (c + s) - b * b, tiny)
+        f = t / det_sh
+        out = jnp.stack(
+            [
+                jnp.stack([f * (c + s), -f * b], axis=-1),
+                jnp.stack([-f * b, f * (a + s)], axis=-1),
+            ],
+            axis=-2,
+        )
+        return out
     tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
-    tr = jnp.maximum(tr, jnp.finfo(M.dtype).tiny)
-    Mh = M / tr
+    tr = jnp.maximum(tr, tiny)
     I = jnp.eye(d, dtype=M.dtype)
+    # degeneracy guard: shift near-singular blocks into the NS stability
+    # region (no-op for healthy blocks; retraction inputs are ~I)
+    det = jnp.linalg.det(M)[..., None, None]
+    degenerate = det / tr**d < 1e-6
+    M = jnp.where(degenerate, M + 1e-3 * tr * I, M)
+    tr = jnp.where(degenerate, tr * (1.0 + 1e-3 * d), tr)
+    Mh = M / tr
     Y, Z = Mh, jnp.broadcast_to(I, M.shape)
     for _ in range(iters):
         T = 0.5 * (3.0 * I - bmm(Z, Y))

@@ -85,11 +85,28 @@ def retract(pd: ProblemData, Y: jax.Array, V: jax.Array) -> jax.Array:
 def random_initial_guess(pd: ProblemData, rank: int, key, height=None) -> jax.Array:
     """Random point on the manifold (reference `CORA_problem.cpp:1023-1028`).
 
-    Matches the reference's `Matrix::Random` (uniform in [-1,1]) followed by
-    manifold projection; translations stay uniform. `height` overrides the
-    state height (rot_range_size for the implicit formulation).
+    Matches the reference's `Matrix::Random` (uniform in [-1,1]) followed
+    by manifold projection; translations stay uniform. The Stiefel
+    projection runs as a HOST float64 SVD (polar = U Vᵀ): a uniform
+    random d×r block can be numerically singular, where the device
+    polar-decomposition projection (`stiefel_project`) is undefined —
+    the reference's JacobiSVD path (`StiefelProduct.cpp:8-36`) has the
+    same always-orthonormal property. Init runs once per solve; the
+    iterative retraction path never sees singular blocks.
+    `height` overrides the state height (rot_range_size implicit mode).
     """
-    A = jax.random.uniform(
-        key, (height or pd.size, rank), dtype=pd.dtype(), minval=-1.0, maxval=1.0
-    )
-    return project_to_manifold(pd, A)
+    import numpy as np
+
+    h = height or pd.size
+    A = np.array(jax.random.uniform(
+        key, (h, rank), dtype=jnp.float64, minval=-1.0, maxval=1.0
+    ))
+    nd = pd.rot_size
+    blocks = A[:nd].reshape(pd.n, pd.d, rank)
+    U, _, Vt = np.linalg.svd(blocks, full_matrices=False)
+    A[:nd] = (U @ Vt).reshape(nd, rank)
+    if pd.m:
+        sph = A[nd:nd + pd.m]
+        A[nd:nd + pd.m] = sph / np.maximum(
+            np.linalg.norm(sph, axis=1, keepdims=True), 1e-30)
+    return jnp.asarray(A, pd.dtype())

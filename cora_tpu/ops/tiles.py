@@ -800,16 +800,26 @@ class TileOps:
                   for b in range(d)] for a in range(d)]
             if d == 2:
                 # closed-form (A A^T)^{-1/2} for 2x2 SPD: with s=sqrt(det),
-                # M^{1/2} = (M + s I)/sqrt(tr + 2s) => invert directly
-                t = G[0][0] + G[1][1]
-                det = G[0][0] * G[1][1] - G[0][1] * G[0][1]
+                # M^{1/2} = (M + s I)/sqrt(tr + 2s) => invert directly.
+                # Degenerate (singular) blocks get a trace-relative shift
+                # — M^{-1/2} is unbounded there (mirrors
+                # `cora_tpu.ops.manifolds._inv_sqrt_psd`)
+                tr0 = G[0][0] + G[1][1]
+                det0 = G[0][0] * G[1][1] - G[0][1] * G[0][1]
+                shift = jnp.where(
+                    det0 < 1e-6 * jnp.maximum(tr0 * tr0, tiny),
+                    1e-3 * tr0, jnp.zeros_like(tr0))
+                G00 = G[0][0] + shift
+                G11 = G[1][1] + shift
+                t = G00 + G11
+                det = G00 * G11 - G[0][1] * G[0][1]
                 s = jnp.sqrt(jnp.maximum(det, tiny))
                 denom = jnp.sqrt(jnp.maximum(t + 2.0 * s, tiny))
                 # inv(M + sI) = [[G11+s, -G01], [-G01, G00+s]] / det(M+sI)
-                dd = jnp.maximum((G[0][0] + s) * (G[1][1] + s)
+                dd = jnp.maximum((G00 + s) * (G11 + s)
                                  - G[0][1] * G[0][1], tiny)
                 c = denom / dd
-                I00, I11 = c * (G[1][1] + s), c * (G[0][0] + s)
+                I00, I11 = c * (G11 + s), c * (G00 + s)
                 I01 = -c * G[0][1]
                 oP.append(I00 * ar[0] + I01 * ar[1])
                 oP.append(I01 * ar[0] + I11 * ar[1])

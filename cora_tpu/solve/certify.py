@@ -293,10 +293,11 @@ def certify_solution(
     # --- device path: factored-operator LOBPCG cascade, stays on TPU.
     # Runs in the problem's device dtype (float32 staircase: the escape
     # eigenvector and the method="device" Ritz value need no float64;
-    # TPU v5e has no native f64) ---
+    # TPU v5e has no native f64). The exact float64 banded PSD DECISION
+    # runs first — the device transfers (Y upload, Λ blocks, banded
+    # factor) are only paid when the decision is NOT-PSD and the saddle
+    # escape needs the negative-curvature eigenvector. ---
     Y_host64 = np.asarray(Y, np.float64)  # decision stays float64
-    Y = jnp.asarray(Y_host64, pd.dtype())
-    lam_blocks = _lam_jit(pd, Y)
 
     psd_known = False
     band_inexact = not pd.n
@@ -346,6 +347,10 @@ def certify_solution(
             max_lobpcg_iters=max_lobpcg_iters, tol=tol, seed=seed,
             method="host", eig_tol=eig_tol,
         )
+
+    # decision made (NOT-PSD) or undecidable: now pay the device uploads
+    Y = jnp.asarray(Y_host64, pd.dtype())
+    lam_blocks = _lam_jit(pd, Y)
 
     rng = np.random.default_rng(seed)
     X0 = rng.standard_normal((N, num_eigvecs)).astype(pd.dtype())
