@@ -181,6 +181,7 @@ def certify_solution(
     rank_deficient_exit: bool = False,
     method: str = "host",
     eig_tol: float = 1e-5,
+    escape_eig_iters: int | None = None,
 ) -> CertResults:
     """Certify Y as a global optimum (reference `certify_solution`).
 
@@ -328,12 +329,19 @@ def certify_solution(
 
         # stage-2 preconditioner: banded factor of S + σI, σ escalated
         # until PD (the ILDL analog of `CORA_utils.cpp:128-176`; the
-        # shift only weakens — never invalidates — the preconditioner)
+        # shift only weakens — never invalidates — the preconditioner).
+        # The last successful σ is cached per problem: certificates at
+        # successive staircase levels have similar spectra, and each
+        # failed attempt costs a full host factorization.
         sigma = max(eta, 1e-6)
+        if problem is not None:
+            sigma = max(sigma, getattr(problem, "_cert_sigma_cache", 0.0))
         for _ in range(12):
             try:
                 F_pre = factor_banded(problem, pd, S_sparse, sigma)
                 bfac = device_factor(pd, F_pre, dtype=pd.dtype())
+                if problem is not None:
+                    problem._cert_sigma_cache = sigma
                 break
             except np.linalg.LinAlgError:
                 sigma *= 16.0
@@ -362,8 +370,15 @@ def certify_solution(
         X0[:, :ncols] = boot[:, :ncols]
     X0 = jnp.asarray(X0)
 
-    it1 = max(int(0.01 * max_lobpcg_iters), 3)
-    it2 = max_lobpcg_iters - it1
+    # with method="auto" the PSD DECISION was already made by the exact
+    # banded Cholesky; the eigenvector only seeds the saddle escape and
+    # needs no certification-grade convergence — a reduced budget saves
+    # device time on every failed level
+    eig_budget = max_lobpcg_iters
+    if method == "auto" and psd_known and escape_eig_iters is not None:
+        eig_budget = min(max_lobpcg_iters, escape_eig_iters)
+    it1 = max(int(0.01 * eig_budget), 3)
+    it2 = eig_budget - it1
     theta, x, X_blk, iters, resnorm = jax.device_get(
         _cert_eig_device(
             pd, Y, lam_blocks[0], lam_blocks[1], X0, eta, it1, it2, tol,

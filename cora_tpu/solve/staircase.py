@@ -581,6 +581,7 @@ def _certify_with_retry(problem, pd, Y, eta, cert_p, bootstrap):
         eigvec_bootstrap=bootstrap,
         max_lobpcg_iters=cert_p.max_lobpcg_iters,
         method="auto",
+        escape_eig_iters=cert_p.escape_eig_iters,
     )
     retries = 0
     while np.isnan(cert.theta) and retries < 20:
@@ -591,6 +592,7 @@ def _certify_with_retry(problem, pd, Y, eta, cert_p, bootstrap):
             eigvec_bootstrap=bootstrap,
             max_lobpcg_iters=cert_p.max_lobpcg_iters,
             method="auto",
+            escape_eig_iters=cert_p.escape_eig_iters,
         )
         retries += 1
     return cert

@@ -70,6 +70,9 @@ class CertParams:
     lobpcg_block_size: int = 10
     max_lobpcg_iters: int = 500
     lobpcg_tol: float = 1e-6
+    # eigensolver budget when the exact banded Cholesky already decided
+    # NOT-PSD and the eigenvector only seeds the saddle escape
+    escape_eig_iters: int = 160
 
 
 @dataclasses.dataclass
@@ -123,7 +126,7 @@ class SolverConfig:
     # hard wall-clock cap per polish call (seconds); on expiry the
     # best-so-far point is certified and `grad_norm_f64` records the
     # honest stationarity achieved
-    polish_time_budget: float = 5.0
+    polish_time_budget: float = 2.5
     # fused Pallas kernel backend for the TNT hot loop (chain graphs,
     # RegularizedCholesky, explicit formulation): "auto" uses it whenever
     # the problem qualifies and a TPU is present, "never" forces the XLA
