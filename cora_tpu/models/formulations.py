@@ -163,33 +163,43 @@ def _make_lred_apply(F, dtype):
 
 
 class ImplicitOperators:
-    """Marginalized quadratic-form operator and translation recovery."""
+    """Marginalized quadratic-form operator and translation recovery.
 
-    def __init__(self, problem, pd: ProblemData, dtype=None):
+    `full_product` overrides the full-height explicit product Q·Z — the
+    mesh-distributed solve passes the edge-sharded operator here
+    (`cora_tpu.parallel.sharding`), so the marginalized products ride the
+    same psum-per-application path while the banded L⁻¹ apply stays
+    replicated math (it is a host-factored direct solve)."""
+
+    def __init__(self, problem, pd: ProblemData, dtype=None,
+                 full_product=None):
         self.pd = pd
         dtype = dtype or pd.dtype()
         self._lred_solve = _make_lred_apply(_lred_factor(problem, pd), dtype)
         self._dtype = dtype
+        if full_product is None:
+            from cora_tpu.ops.quadratic import data_matrix_product
+
+            def full_product(Z, _pd=pd):
+                return data_matrix_product(_pd, Z)
+
+        self._full = full_product
 
     def _bt_y(self, Y):
         """[Qmain·Y ; Bᵀ·Y] via the explicit factored operator on [Y; 0]."""
-        from cora_tpu.ops.quadratic import data_matrix_product
-
         pd = self.pd
         pad = jnp.zeros((pd.num_translations, Y.shape[1]), Y.dtype)
-        full = data_matrix_product(pd, jnp.concatenate([Y, pad], axis=0))
+        full = self._full(jnp.concatenate([Y, pad], axis=0))
         return full[: pd.rot_range_size], full[pd.rot_range_size:]
 
     def _b_v(self, v_red):
         """B·v via the explicit operator on [0; v] (v lifted, pinned row 0)."""
-        from cora_tpu.ops.quadratic import data_matrix_product
-
         pd = self.pd
         v_full = jnp.concatenate(
             [v_red, jnp.zeros((1, v_red.shape[1]), v_red.dtype)], axis=0
         )
         zero_top = jnp.zeros((pd.rot_range_size, v_red.shape[1]), v_red.dtype)
-        full = data_matrix_product(pd, jnp.concatenate([zero_top, v_full], axis=0))
+        full = self._full(jnp.concatenate([zero_top, v_full], axis=0))
         return full[: pd.rot_range_size]
 
     def product(self, Y):
@@ -207,7 +217,8 @@ class ImplicitOperators:
         return jnp.concatenate([Y, t, zero], axis=0)
 
 
-def make_operator(problem, pd: ProblemData, formulation, dtype=None) -> Callable:
+def make_operator(problem, pd: ProblemData, formulation, dtype=None,
+                  full_product=None) -> Callable:
     """The quadratic-form operator for the requested formulation."""
     from cora_tpu.types import Formulation
 
@@ -220,7 +231,7 @@ def make_operator(problem, pd: ProblemData, formulation, dtype=None) -> Callable
         op.implicit = None
         return op
 
-    impl = ImplicitOperators(problem, pd, dtype)
+    impl = ImplicitOperators(problem, pd, dtype, full_product=full_product)
 
     def op(Y):
         return impl.product(Y)

@@ -124,12 +124,6 @@ def solve_cora(
     if verbose is None:
         verbose = config.verbose
     implicit = config.formulation == Formulation.IMPLICIT
-    if mesh is not None and implicit:
-        raise NotImplementedError(
-            "mesh-distributed solve supports the EXPLICIT formulation "
-            "(the implicit operator's banded translation solve is "
-            "replicated host-factored math; run it without a mesh)"
-        )
 
     def vprint(msg):
         if verbose:
@@ -137,11 +131,20 @@ def solve_cora(
 
     t_start = time.time()
     pd = problem.device_data(dtype=config.dtype)
-    op = (
-        problem.sharded_operator(mesh, dtype=config.dtype)
-        if mesh is not None
-        else problem.operator(config.formulation, dtype=config.dtype)
-    )
+    if mesh is not None:
+        shard_op = problem.sharded_operator(mesh, dtype=config.dtype)
+        if implicit:
+            # marginalized operator over the edge-sharded explicit
+            # product: Qmain/B products ride the psum path, the banded
+            # L⁻¹ apply is replicated host-factored math
+            op = make_operator(
+                problem, pd, config.formulation, dtype=config.dtype,
+                full_product=shard_op,
+            )
+        else:
+            op = shard_op
+    else:
+        op = problem.operator(config.formulation, dtype=config.dtype)
     precon_full = problem.preconditioner_fn(
         config.preconditioner, dtype=config.dtype,
         max_cond=config.reg_chol_max_cond,
@@ -319,14 +322,12 @@ def solve_cora(
             f"{result.elapsed_time:.2f}s, {result.status})"
         )
 
-        # a host-capped level (20 s wall cap / outer-iteration cap checked
-        # between device chunks) far from criticality is the same
-        # situation as an in-loop ramp_exit: no certificate to check, no
-        # saddle to escape — lift instead of certifying a meaningless point
-        capped_far = (
-            result.status in ("time_cap", "max_iterations")
-            and result.gradfx_norm > config.lift_grad_norm
-        )
+        # ANY level that ends far from criticality (host time/iteration
+        # caps, float32 stalls, trust-region collapse at a bad basin) is
+        # the same situation as an in-loop ramp_exit: no certificate to
+        # check, no saddle to escape — lift instead of certifying a
+        # meaningless point
+        capped_far = result.gradfx_norm > config.lift_grad_norm
         if (result.status == "ramp_exit" or capped_far) and rank < max_rank:
             # ramp level: nowhere near a critical point — no certificate
             # to check, no saddle to escape (see module docstring)
@@ -411,13 +412,14 @@ def solve_cora(
             else:
                 pass  # certify the raw point below
         else:
-            # forced finish at max_rank far from criticality: S = Q − Λ(Y)
-            # carries no optimality information at a non-critical point —
-            # do NOT issue a certificate (the reference hard-errors on the
-            # equivalent NaN-θ state, `src/CORA.cpp:180-182`)
+            # forced finish at max_rank far from criticality (lower ranks
+            # ramp-lift above): S = Q − Λ(Y) carries no optimality
+            # information at a non-critical point — do NOT issue a
+            # certificate (the reference hard-errors on the equivalent
+            # NaN-θ state, `src/CORA.cpp:180-182`)
             vprint(
-                f"[t={time.time()-t_start:7.2f}s] max-rank level ended far "
-                f"from criticality (|grad| {result.gradfx_norm:.2e}) — "
+                f"[t={time.time()-t_start:7.2f}s] level at rank {rank} ended "
+                f"far from criticality (|grad| {result.gradfx_norm:.2e}) — "
                 f"certificate skipped"
             )
             cert_final = CertResults(

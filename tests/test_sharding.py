@@ -126,3 +126,69 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(len(jax.devices()))
+
+
+def test_implicit_mesh_solve_certifies(fixtures_dir, mesh):
+    """Implicit (marginalized) formulation under the device mesh: the
+    Qmain/B products ride the edge-sharded explicit operator, the banded
+    L⁻¹ apply is replicated (reference `src/CORA_problem.cpp:714-757`)."""
+    import numpy as np
+
+    from cora_tpu.solve.staircase import solve_cora
+    from cora_tpu.types import Formulation, Preconditioner, SolverConfig
+
+    problem = parse_pyfg(
+        str(fixtures_dir / "small_ra_slam_problem" / "factor_graph.pyfg"))
+    cfg = SolverConfig(
+        preconditioner=Preconditioner.REGULARIZED_CHOLESKY,
+        formulation=Formulation.IMPLICIT,
+        dtype=np.float64,
+        seed=0,
+    )
+    res = solve_cora(problem, config=cfg, mesh=mesh)
+    res_ref = solve_cora(problem, config=cfg)  # no mesh
+    assert res.certified
+    # noiseless fixture: the optimum cost is ~0; compare absolutely
+    np.testing.assert_allclose(
+        res.sdp_cost, res_ref.sdp_cost, rtol=1e-6, atol=1e-10)
+
+
+def test_lred_factor_multi_robot_bandwidth():
+    """`_lred_factor`'s RCM band assumption on a multi-robot graph with
+    inter-robot ranges (the tiers/mrclam structure): the reduced
+    translation Laplacian must factor exactly (banded + spikes)."""
+    import numpy as np
+
+    from cora_tpu.models.formulations import ImplicitOperators
+    from cora_tpu.models.synthetic import synthetic_problem
+    from cora_tpu.measurements import RangeMeasurement
+    from cora_tpu.symbol import Symbol
+
+    problem = synthetic_problem(n_poses=60, n_landmarks=2, n_ranges=30,
+                                dim=2, seed=7)
+    # inter-pose ranges spanning the chain (multi-robot-style coupling)
+    rng = np.random.default_rng(0)
+    for k in range(8):
+        i, j = sorted(rng.choice(60, size=2, replace=False))
+        if j - i < 2:
+            continue
+        try:
+            problem.add_range_measurement(RangeMeasurement(
+                Symbol("a", int(i)), Symbol("a", int(j)), 1.0 + k, 0.5))
+        except ValueError:
+            pass
+    pd = problem.device_data(dtype=np.float64)
+    impl = ImplicitOperators(problem, pd)  # raises if band is inexact
+
+    # marginalized operator matches the dense Schur complement
+    import scipy.sparse as sp
+
+    Q = problem.data_matrix().toarray()
+    off = pd.rot_range_size
+    Qm, B, L = Q[:off, :off], Q[:off, off:-1], Q[off:-1, off:-1]
+    Y = rng.standard_normal((off, 3))
+    ref = Qm @ Y - B @ np.linalg.solve(L, B.T @ Y)
+    import jax.numpy as jnp
+
+    out = np.asarray(impl.product(jnp.asarray(Y)))
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
