@@ -518,6 +518,39 @@ class PallasTNT:
             lift_grad_norm = fs[4]
             stall_tol = fs[5]
 
+            # seed the scalar outputs from the inputs, then (first chunk
+            # of a solve, isc[10] == 1) evaluate f/grad/nablaF/status
+            # in-kernel — folding the init step into the chunk saves one
+            # dispatch + one blocking host sync per staircase level
+            fs_o[0] = fs[0]
+            fs_o[1] = fs[1]
+            fs_o[2] = fs[2]
+            fs_o[3] = fs[3]
+            isc_o[1] = isc[1]
+
+            import jax.experimental.pallas as _pl
+
+            @_pl.when(isc[10] == 1)
+            def _init():
+                Yv = read3(Y_o)
+                zz = _tree3(jnp.zeros_like, Yv)
+                _, QY0, g0, f0, gn0, pgn0 = self._step_core(
+                    ops, Yv, zz, jnp.int32(0))
+                write3(g_o, g0)
+                write3(nF_o, QY0)
+                fs_o[0] = f0
+                fs_o[1] = gn0
+                fs_o[2] = pgn0
+                isc_o[1] = jnp.where(
+                    gn0 <= p.gradient_tolerance,
+                    jnp.int32(GRAD_TOL),
+                    jnp.where(
+                        pgn0 <= p.preconditioned_gradient_tolerance,
+                        jnp.int32(PRECON_GRAD_TOL),
+                        jnp.int32(RUNNING),
+                    ),
+                )
+
             def cond(c):
                 return jnp.logical_and(c[4] < stop_at, c[5] == RUNNING)
 
@@ -642,8 +675,8 @@ class PallasTNT:
             # carried tiles blow Mosaic's stack allocator (62 MiB at
             # plaza2 size)
             init = (
-                fs[0], fs[1], fs[2], fs[3],
-                isc[0], isc[1],
+                fs_o[0], fs_o[1], fs_o[2], fs_o[3],
+                isc[0], isc_o[1],
                 isc[2] > 0,
                 isc[3], isc[4],
             )

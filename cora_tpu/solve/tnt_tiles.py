@@ -66,17 +66,14 @@ def tnt_solve_tiles(
     if max_time is None:
         max_time = params.max_computation_time
 
-    Y0_tiles = tile_mod.to_tiles(plan, jnp.asarray(Y0, jnp.float32))
-    zeros = tuple(jnp.zeros_like(t) for t in Y0_tiles)
-    Yt, nFt, gt, f_d, gn_d, pgn_d = kern.step(
-        Y0_tiles, zeros, jnp.asarray(0, jnp.int32))
-    f, gn, pgn = (float(x) for x in jax.device_get((f_d, gn_d, pgn_d)))
-    if gn <= params.gradient_tolerance:
-        status = GRAD_TOL
-    elif pgn <= params.preconditioned_gradient_tolerance:
-        status = PRECON_GRAD_TOL
-    else:
-        status = RUNNING
+    # the first chunk evaluates f/grad/nablaF in-kernel (isc[10] flag):
+    # grad/nablaF tiles enter as zeros and one dispatch does init + loop
+    Yt = tile_mod.to_tiles(plan, jnp.asarray(Y0, jnp.float32))
+    gt = tuple(jnp.zeros_like(t) for t in Yt)
+    nFt = gt
+    f = gn = pgn = 0.0
+    status = RUNNING
+    init_flag = 1
 
     H = int(iter_cap)
     hists = (
@@ -103,8 +100,10 @@ def tnt_solve_tiles(
             np.float32))
         iscal = jnp.asarray(np.array(
             [k, status, finish, dec, stp, chunk_end, tcg_cap,
-             int(ramp_iterations), int(ramp_tcg), int(stall_window), 0, 0],
+             int(ramp_iterations), int(ramp_tcg), int(stall_window),
+             init_flag, 0],
             np.int32))
+        init_flag = 0
         Yt, gt, nFt, fs, isc, hists = kern.chunk(
             Yt, gt, nFt, fscal, iscal, hists, history_len=H)
         fs = np.asarray(jax.device_get(fs), np.float64)
