@@ -1,4 +1,4 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints the headline JSON line for the driver.
 
 Headline metric (BASELINE.md): plaza2 time-to-certified-solution from
 random initialization, against the reference's published wall-clock of
@@ -7,15 +7,20 @@ random initialization, against the reference's published wall-clock of
 Method: one warmup solve populates jit caches (compile time is a
 per-shape, per-process one-off; the persistent compilation cache under
 `.jax_cache/` carries it across runs), then the solve is re-run and the
-time to the SDP certificate is reported. Gates (fail ⇒ value=inf):
-certified, final cost within 1% of the reference, ATE ≤ 0.30 m
-(reference parity), ≤ 5 staircase levels (config-sensitivity
-regressions surface as failures, not slow-but-green numbers).
+time to the SDP certificate is reported.
 
-The default mode also records the full BASELINE kernel-metric set in
-`extra`: Hv GFLOP/s/chip, 100k-pose Hv latency, single_drone (3D)
-time-to-certificate, and the 8-virtual-device sharded-Hv scaling
-efficiency (CPU-mesh subprocess).
+Output protocol (round 5 — the headline can never be lost again):
+the headline JSON line is printed and flushed IMMEDIATELY after the
+timed plaza2 solve.  Extras (hv microbench, single_drone, scale,
+multichip-subprocess) run afterwards, each under a hard wall-clock
+budget; when they finish, the SAME headline object enriched with their
+numbers is printed as a second line (the driver may parse either the
+first or the last JSON line — both carry the identical metric/value)
+and written to `BENCH_EXTRAS.json`.
+
+Gates (fail => value=inf, and `extra.gates` records each verdict):
+certified, final cost within 1% of the reference, ATE <= 0.30 m
+(reference parity), <= 5 staircase levels.
 """
 
 import json
@@ -44,9 +49,12 @@ def _solve_config(np):
         formulation=Formulation.EXPLICIT,
         dtype=np.dtype(dtype_name).type,
         max_staircase_iterations=int(
-            os.environ.get("CORA_BENCH_RAMP_CAP", "120")),
-        ramp_tcg_iterations=int(os.environ.get("CORA_BENCH_TCG", "16")),
+            os.environ.get("CORA_BENCH_RAMP_CAP", "60")),
+        ramp_tcg_iterations=int(os.environ.get("CORA_BENCH_TCG", "24")),
         seed=int(os.environ.get("CORA_BENCH_SEED", "0")),
+        # "never" until the kernel path is measured to win on hardware
+        # (round-4 lesson: a measured XLA number beats an unmeasured inf)
+        use_pallas=os.environ.get("CORA_BENCH_PALLAS", "never"),
     ), dtype_name
 
 
@@ -55,7 +63,6 @@ def hv_microbench(problem=None, quiet=False):
     GFLOP/s/chip of the factored Q·Y + manifold-correction pipeline on a
     plaza2-sized graph. Run standalone with CORA_BENCH_MODE=hv."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from cora_tpu import parse_pyfg
@@ -80,7 +87,7 @@ def hv_microbench(problem=None, quiet=False):
     out.block_until_ready()
     dt = (time.time() - t0) / n_iter
 
-    # FLOPs: Q product (2·nnz·r via edge kernels) + Weingarten/tangent terms
+    # FLOPs: Q product (2*nnz*r via edge kernels) + Weingarten/tangent terms
     nnz = 2 * (
         pd.num_rot_edges * (2 * pd.d * pd.d + 2 * pd.d)
         + pd.num_pose_meas * (pd.d + 4)
@@ -103,8 +110,8 @@ def hv_microbench(problem=None, quiet=False):
 
 
 def scale_bench(quiet=False):
-    """BASELINE config 4: large synthetic graph (default 100k poses) on one
-    chip — Hv latency. Run standalone with CORA_BENCH_MODE=scale."""
+    """BASELINE config 4: large synthetic graph on one chip — Hv latency.
+    Run standalone with CORA_BENCH_MODE=scale (CORA_BENCH_POSES to size)."""
     import jax
     import numpy as np
 
@@ -167,7 +174,7 @@ def multichip_bench(quiet=False):
     pd = problem.device_data(dtype=np.dtype(dtype_name).type)
     Y = random_initial_guess(pd, 4, jax.random.PRNGKey(0))
 
-    def timeit(op):
+    def timeit(op, Y):
         op(Y).block_until_ready()
         t0 = time.time()
         out = Y
@@ -176,12 +183,12 @@ def multichip_bench(quiet=False):
         out.block_until_ready()
         return (time.time() - t0) / 50
 
-    t_single = timeit(jax.jit(lambda V: data_matrix_product(pd, V)))
+    t_single = timeit(jax.jit(lambda V: data_matrix_product(pd, V)), Y)
     ndev = len(jax.devices())
     if ndev > 1:
         mesh = make_mesh()
         op = make_sharded_operator(shard_problem_data(pd, mesh), mesh)
-        t_sharded = timeit(jax.jit(op))
+        t_sharded = timeit(jax.jit(op), Y)
         eff = t_single / (t_sharded * ndev)
     else:
         t_sharded, eff = float("nan"), float("nan")
@@ -200,7 +207,7 @@ def multichip_bench(quiet=False):
     return res
 
 
-def _solve_dataset(path, cfg, reference_cost=None):
+def _solve_dataset(path, cfg, warmup=True):
     import numpy as np
 
     from cora_tpu import parse_pyfg, solve_cora
@@ -208,7 +215,8 @@ def _solve_dataset(path, cfg, reference_cost=None):
     from cora_tpu.utils.evaluation import evaluate_ate
 
     problem = parse_pyfg(path)
-    solve_cora(problem, config=cfg)  # warmup: compiles every rank level
+    if warmup:
+        solve_cora(problem, config=cfg)  # warmup: compiles every rank level
     t0 = time.time()
     res = solve_cora(problem, config=cfg)
     wall = time.time() - t0
@@ -222,7 +230,7 @@ def _solve_dataset(path, cfg, reference_cost=None):
     return problem, res, t_cert, wall, ate
 
 
-def _multichip_subprocess():
+def _multichip_subprocess(timeout=180):
     """Sharded-Hv efficiency on an 8-virtual-device CPU mesh, isolated in
     a subprocess (this process owns the TPU)."""
     env = dict(
@@ -236,7 +244,7 @@ def _multichip_subprocess():
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=900,
+            env=env, capture_output=True, text=True, timeout=timeout,
         )
         for line in out.stdout.splitlines():
             line = line.strip()
@@ -270,15 +278,17 @@ def main():
     # ---- headline: plaza2 time-to-certificate from random init ----
     problem, res, t_cert, wall, ate = _solve_dataset(PLAZA2, cfg)
 
-    ok = (
-        res.certified
-        and abs(res.result.f - REFERENCE_COST) / REFERENCE_COST < 0.01
-        and ate <= 0.30  # reference-parity ATE (measured 0.271 m)
-        and len(res.ranks_visited) <= 5
-    )
+    gates = {
+        "certified": bool(res.certified),
+        "cost_within_1pct": bool(
+            abs(res.result.f - REFERENCE_COST) / REFERENCE_COST < 0.01),
+        "ate_le_0.30": bool(ate <= 0.30),  # reference parity (measured 0.271)
+        "levels_le_5": bool(len(res.ranks_visited) <= 5),
+    }
+    ok = all(gates.values())
 
     extra = {
-        "certified": bool(res.certified),
+        "gates": gates,
         "final_cost": round(float(res.result.f), 4),
         "reference_cost": REFERENCE_COST,
         "sdp_cost": round(float(res.sdp_cost), 4),
@@ -289,33 +299,8 @@ def main():
         "phases_s": {k: round(v, 3) for k, v in (res.phases or {}).items()},
         "device": str(jax.devices()[0]),
         "dtype": dtype_name,
+        "use_pallas": cfg.use_pallas,
     }
-
-    # ---- full BASELINE kernel-metric set ----
-    if os.environ.get("CORA_BENCH_SKIP_EXTRAS") != "1":
-        try:
-            hv = hv_microbench(problem=problem, quiet=True)
-            extra["hv_gflops_per_chip"] = hv["value"]
-            extra["hv_latency_us"] = hv["extra"]["latency_us"]
-        except Exception as e:  # noqa: BLE001
-            extra["hv_gflops_per_chip"] = f"error: {e}"
-        try:
-            sc = scale_bench(quiet=True)
-            extra["hv_latency_100k_ms"] = sc["value"]
-        except Exception as e:  # noqa: BLE001
-            extra["hv_latency_100k_ms"] = f"error: {e}"
-        try:
-            _, res_sd, t_sd, _, ate_sd = _solve_dataset(SINGLE_DRONE, cfg)
-            extra["single_drone_t_cert_s"] = round(t_sd, 3)
-            extra["single_drone_certified"] = bool(res_sd.certified)
-            extra["single_drone_cost"] = round(float(res_sd.result.f), 4)
-            extra["single_drone_ate_m"] = round(ate_sd, 4)
-        except Exception as e:  # noqa: BLE001
-            extra["single_drone_t_cert_s"] = f"error: {e}"
-        mc = _multichip_subprocess()
-        if mc is not None:
-            extra["sharded_hv_eff_8dev_cpu"] = mc.get("value")
-            extra["sharded_hv_detail"] = mc.get("extra")
 
     result = {
         "metric": "plaza2_time_to_certified_random_init",
@@ -324,7 +309,57 @@ def main():
         "vs_baseline": round(BASELINE_S / t_cert, 3) if ok else 0.0,
         "extra": extra,
     }
-    print(json.dumps(result))
+    # the headline is emitted the moment it exists — a hung or
+    # over-budget extra can no longer lose the round's number
+    print(json.dumps(result), flush=True)
+
+    # ---- full BASELINE kernel-metric set (each stage hard-budgeted) ----
+    if os.environ.get("CORA_BENCH_SKIP_EXTRAS") != "1":
+        budget_s = float(os.environ.get("CORA_BENCH_EXTRAS_BUDGET", "420"))
+        t_extras = time.time()
+
+        def in_budget():
+            return time.time() - t_extras < budget_s
+
+        try:
+            hv = hv_microbench(problem=problem, quiet=True)
+            extra["hv_gflops_per_chip"] = hv["value"]
+            extra["hv_latency_us"] = hv["extra"]["latency_us"]
+        except Exception as e:  # noqa: BLE001
+            extra["hv_gflops_per_chip"] = f"error: {e}"
+        if in_budget():
+            try:
+                _, res_sd, t_sd, _, ate_sd = _solve_dataset(SINGLE_DRONE, cfg)
+                sd_gates = {
+                    "certified": bool(res_sd.certified),
+                    "ate_le_0.15": bool(ate_sd <= 0.15),
+                }
+                extra["single_drone_t_cert_s"] = (
+                    round(t_sd, 3) if all(sd_gates.values()) else float("inf"))
+                extra["single_drone_gates"] = sd_gates
+                extra["single_drone_cost"] = round(float(res_sd.result.f), 4)
+                extra["single_drone_ate_m"] = round(ate_sd, 4)
+            except Exception as e:  # noqa: BLE001
+                extra["single_drone_t_cert_s"] = f"error: {e}"
+        if in_budget():
+            try:
+                os.environ.setdefault("CORA_BENCH_POSES", "100000")
+                sc = scale_bench(quiet=True)
+                extra["hv_latency_100k_ms"] = sc["value"]
+            except Exception as e:  # noqa: BLE001
+                extra["hv_latency_100k_ms"] = f"error: {e}"
+        if in_budget():
+            mc = _multichip_subprocess(
+                timeout=max(min(budget_s - (time.time() - t_extras), 180), 30))
+            if mc is not None:
+                extra["sharded_hv_eff_8dev_cpu"] = mc.get("value")
+                extra["sharded_hv_detail"] = mc.get("extra")
+        extra["extras_wall_s"] = round(time.time() - t_extras, 1)
+        with open(os.path.join(REPO, "BENCH_EXTRAS.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+        # re-print the identical headline enriched with the extras: the
+        # driver may parse the first or the last JSON line — both agree
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

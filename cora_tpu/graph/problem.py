@@ -357,3 +357,4 @@ class Problem:
         self._polish_jax_cache = None
         self._band_perm_cache = None
         self._tile_kernel_cache = None
+        self._cert_sigma_cache = 0.0

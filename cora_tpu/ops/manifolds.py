@@ -37,9 +37,95 @@ def _inv_sqrt_psd_eigh(M, eps=0.0):
     return jnp.einsum("...ab,...b,...cb->...ac", V, inv_sqrt_w, V)
 
 
+def _solve_3x3_spd(Z, B):
+    """Z⁻¹B for SPD 3×3 blocks via closed-form Cholesky + two unrolled
+    triangular solves.
+
+    Numerically stable for the badly-scaled Z = I + cW of the QDWH
+    iteration (c up to ~10¹⁰): the Cholesky pivots are Schur complements
+    — sums of positives minus one positive quotient — whose error is
+    O(ε·c), unlike an adjugate/det inverse whose determinant cancellation
+    error is O(ε·c³) and flips sign at large c (observed: inf/NaN blocks
+    at α = 10⁶)."""
+    tiny = jnp.finfo(Z.dtype).tiny
+    z00, z01, z02 = Z[..., 0, 0, None], Z[..., 0, 1, None], Z[..., 0, 2, None]
+    z11, z12, z22 = Z[..., 1, 1, None], Z[..., 1, 2, None], Z[..., 2, 2, None]
+    l11 = jnp.sqrt(jnp.maximum(z00, tiny))
+    l21 = z01 / l11
+    l31 = z02 / l11
+    l22 = jnp.sqrt(jnp.maximum(z11 - l21 * l21, tiny))
+    l32 = (z12 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(z22 - l31 * l31 - l32 * l32, tiny))
+    b1, b2, b3 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
+    y1 = b1 / l11
+    y2 = (b2 - l21 * y1) / l22
+    y3 = (b3 - l31 * y1 - l32 * y2) / l33
+    s3 = y3 / l33
+    s2 = (y2 - l32 * s3) / l22
+    s1 = (y1 - l21 * s2 - l31 * s3) / l11
+    return jnp.stack([s1, s2, s3], axis=-2)
+
+
+def qdwh_weights(l0: float, iters: int = 8):
+    """The QDWH (a, b, c) weight schedule for a σ_min/σ_max lower bound
+    l0. Data-independent — the bound evolves by the same rational map as
+    the singular values — so it is computed once in Python floats and
+    baked into the compiled program as constants (shared with the Pallas
+    tile kernel, `cora_tpu.ops.tiles`)."""
+    import math
+
+    ws = []
+    l = l0
+    for _ in range(iters):
+        l2 = min(max(l * l, 1e-300), 1.0)
+        dd = (4.0 * (1.0 - l2) / (l2 * l2)) ** (1.0 / 3.0)
+        sq = math.sqrt(1.0 + dd)
+        a = sq + 0.5 * math.sqrt(
+            max(8.0 - 4.0 * dd + 8.0 * (2.0 - l2) / (l2 * sq), 0.0))
+        b = 0.25 * (a - 1.0) ** 2
+        c = a + b - 1.0
+        ws.append((a, b, c))
+        l = min(l * (a + b * l2) / (1.0 + c * l2), 1.0)
+    return ws
+
+
+def _polar_qdwh(A, iters: int = 8):
+    """Batched left polar factor of wide (…, 3, r) blocks via QDWH —
+    dynamically-weighted Halley iteration (Nakatsukasa–Bai–Gygi 2010).
+
+    Works on A directly (singular values, never the squared Gram), so it
+    keeps full dtype accuracy on the anisotropic Y + α·uwᵀ blocks that
+    large-α saddle-escape trial retractions produce — Gram-based closed
+    forms lose those blocks' small eigenvalues to the κ² squaring
+    (advisor r4: ‖PPᵀ−I‖ ≈ 1 at α=10³ under the old guarded NS).
+    Globally convergent from σ/σ_max ≥ l₀ in ≲6 iterations; each
+    iteration is one d×d Gram, one closed-form SPD d×d inverse and one
+    d×r product — pure VPU/MXU arithmetic, no eigh/SVD lowering, safe
+    inside `lax.while_loop` TNT bodies and mirrored by the Pallas tile
+    kernel (`cora_tpu.ops.tiles.TileOps.project_manifold`).
+
+    Exactly singular blocks converge to the partial isometry (pseudo-
+    polar) rather than blowing up. Weights use the Cholesky-variant
+    bound l₀ chosen per dtype so (I + cW) stays far from overflow.
+    """
+    dtype = A.dtype
+    tiny = jnp.finfo(dtype).tiny
+    d = A.shape[-2]
+    sigma_max = jnp.sqrt(
+        jnp.maximum(jnp.sum(A * A, axis=(-2, -1), keepdims=True), tiny))
+    X = A / sigma_max
+    l0 = 1e-4 if dtype == jnp.float32 else 1e-8
+    I = jnp.eye(d, dtype=dtype)
+    for a, b, c in qdwh_weights(l0, iters):
+        W = bmm(X, jnp.swapaxes(X, -1, -2))
+        X = (b / c) * X + (a - b / c) * _solve_3x3_spd(I + c * W, X)
+    return X
+
+
 def _inv_sqrt_psd(M, iters: int = 25):
     """Batched M^{-1/2}: exact closed form for d=2, trace-scaled
-    Newton–Schulz for d≥3.
+    Newton–Schulz for d≥3 (d≥3 Stiefel blocks go through `_polar_qdwh`
+    instead — see `stiefel_project`).
 
     Pure d×d arithmetic — compiles to a tiny fused program and runs on
     the MXU/VPU, unlike `eigh` whose QR-iteration lowering dominated the
@@ -51,11 +137,6 @@ def _inv_sqrt_psd(M, iters: int = 25):
     ~1/√ε ≈ 4·10³, and a uniform-random rank-2 block at a staircase
     random init CAN be that singular — one such block at plaza2 scale
     blew a whole solve to f ~ 10²⁴).
-
-    d≥3: Newton–Schulz with a degeneracy guard — near-singular blocks
-    (det/tr^d below threshold, i.e. random-init garbage, never a
-    retraction of an on-manifold point) get a trace-relative shift that
-    caps the condition number inside the float32 stability region.
     """
     d = M.shape[-1]
     tiny = jnp.finfo(M.dtype).tiny
@@ -89,12 +170,6 @@ def _inv_sqrt_psd(M, iters: int = 25):
     tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
     tr = jnp.maximum(tr, tiny)
     I = jnp.eye(d, dtype=M.dtype)
-    # degeneracy guard: shift near-singular blocks into the NS stability
-    # region (no-op for healthy blocks; retraction inputs are ~I)
-    det = jnp.linalg.det(M)[..., None, None]
-    degenerate = det / tr**d < 1e-6
-    M = jnp.where(degenerate, M + 1e-3 * tr * I, M)
-    tr = jnp.where(degenerate, tr * (1.0 + 1e-3 * d), tr)
     Mh = M / tr
     Y, Z = Mh, jnp.broadcast_to(I, M.shape)
     for _ in range(iters):
@@ -112,7 +187,11 @@ def stiefel_project(A: jax.Array) -> jax.Array:
     """Project (n,d,r) blocks onto St(d,r): A ↦ (A Aᵀ)^{-1/2} A.
 
     Reference: SVD projection at `src/StiefelProduct.cpp:8-36`.
+    d=2 uses the exact Gram closed form; d≥3 uses QDWH on A directly
+    (robust to the ill-conditioned blocks of large-α escape trials).
     """
+    if A.shape[-2] == 3:
+        return _polar_qdwh(A)
     AAT = bmm(A, jnp.swapaxes(A, -1, -2))
     return bmm(_inv_sqrt_psd(AAT), A)
 

@@ -824,29 +824,50 @@ class TileOps:
                 oP.append(I00 * ar[0] + I01 * ar[1])
                 oP.append(I01 * ar[0] + I11 * ar[1])
             else:
-                # trace-normalized Newton–Schulz for (A A^T)^{-1/2}
-                # (matches `cora_tpu.ops.manifolds._inv_sqrt_psd`)
-                tr = G[0][0] + G[1][1] + G[2][2]
-                tr = jnp.maximum(tr, tiny)
-                Yb = [[G[a][b] / tr for b in range(d)] for a in range(d)]
-                Zb = [[jnp.full_like(tr, 1.0 if a == b else 0.0)
-                       for b in range(d)] for a in range(d)]
-                for _ in range(25):
-                    ZY = [[sum(Zb[a][c2] * Yb[c2][b] for c2 in range(d))
-                           for b in range(d)] for a in range(d)]
-                    T = [[(3.0 * (1.0 if a == b else 0.0) - ZY[a][b]) * 0.5
-                          for b in range(d)] for a in range(d)]
-                    Yb = [[sum(Yb[a][c2] * T[c2][b] for c2 in range(d))
-                           for b in range(d)] for a in range(d)]
-                    Zb = [[sum(T[a][c2] * Zb[c2][b] for c2 in range(d))
-                           for b in range(d)] for a in range(d)]
-                sq = jnp.sqrt(tr)
+                # QDWH polar iteration on the rows directly — the same
+                # algorithm (and precomputed weight schedule) as
+                # `cora_tpu.ops.manifolds._polar_qdwh`, unrolled per
+                # lane, pow/eigh-free, with a closed-form 3×3 Cholesky
+                # solve per iteration. No Gram squaring, so the kernel
+                # and XLA retractions agree to ~ε even on the
+                # ill-conditioned blocks of large-α saddle-escape trial
+                # points (advisor r4).
+                from cora_tpu.ops.manifolds import qdwh_weights
+
+                fro2 = G[0][0] + G[1][1] + G[2][2]
+                sinv = 1.0 / jnp.sqrt(jnp.maximum(fro2, tiny))
+                x = [ar[a] * sinv for a in range(d)]
+                for aw, bw, cw in qdwh_weights(1e-4, 8):
+                    # Z = I + c·XXᵀ (6 unique entries, (1, lanes) each)
+                    z00 = 1.0 + cw * jnp.sum(x[0] * x[0], axis=0,
+                                             keepdims=True)
+                    z01 = cw * jnp.sum(x[0] * x[1], axis=0, keepdims=True)
+                    z02 = cw * jnp.sum(x[0] * x[2], axis=0, keepdims=True)
+                    z11 = 1.0 + cw * jnp.sum(x[1] * x[1], axis=0,
+                                             keepdims=True)
+                    z12 = cw * jnp.sum(x[1] * x[2], axis=0, keepdims=True)
+                    z22 = 1.0 + cw * jnp.sum(x[2] * x[2], axis=0,
+                                             keepdims=True)
+                    l11 = jnp.sqrt(jnp.maximum(z00, tiny))
+                    l21 = z01 / l11
+                    l31 = z02 / l11
+                    l22 = jnp.sqrt(jnp.maximum(z11 - l21 * l21, tiny))
+                    l32 = (z12 - l31 * l21) / l22
+                    l33 = jnp.sqrt(
+                        jnp.maximum(z22 - l31 * l31 - l32 * l32, tiny))
+                    y1 = x[0] / l11
+                    y2 = (x[1] - l21 * y1) / l22
+                    y3 = (x[2] - l31 * y1 - l32 * y2) / l33
+                    s3 = y3 / l33
+                    s2 = (y2 - l32 * s3) / l22
+                    s1 = (y1 - l21 * s2 - l31 * s3) / l11
+                    bc = bw / cw
+                    abc = aw - bc
+                    x = [bc * x[0] + abc * s1,
+                         bc * x[1] + abc * s2,
+                         bc * x[2] + abc * s3]
                 for a in range(d):
-                    acc = None
-                    for b in range(d):
-                        term = (Zb[a][b] / sq) * ar[b]
-                        acc = term if acc is None else acc + term
-                    oP.append(acc)
+                    oP.append(x[a])
             oP.append(self.tr(AP, p))
         oS = []
         for p in range(2):

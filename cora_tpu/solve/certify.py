@@ -330,12 +330,16 @@ def certify_solution(
         # stage-2 preconditioner: banded factor of S + σI, σ escalated
         # until PD (the ILDL analog of `CORA_utils.cpp:128-176`; the
         # shift only weakens — never invalidates — the preconditioner).
-        # The last successful σ is cached per problem: certificates at
-        # successive staircase levels have similar spectra, and each
-        # failed attempt costs a full host factorization.
+        # The last successful σ seeds the retry loop at cache/16 — one
+        # level up from where a fresh search would land after the first
+        # retry — so successive staircase levels (similar spectra) pay at
+        # most one extra factorization, while a single level that needed
+        # a huge σ cannot permanently weaken the preconditioner (the
+        # seed decays again as soon as smaller shifts succeed). Cleared
+        # by Problem.invalidate() with the other solve caches.
         sigma = max(eta, 1e-6)
         if problem is not None:
-            sigma = max(sigma, getattr(problem, "_cert_sigma_cache", 0.0))
+            sigma = max(sigma, getattr(problem, "_cert_sigma_cache", 0.0) / 16.0)
         for _ in range(12):
             try:
                 F_pre = factor_banded(problem, pd, S_sparse, sigma)

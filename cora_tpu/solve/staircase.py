@@ -407,6 +407,20 @@ def solve_cora(
                     raise RuntimeError("certification produced NaN theta")
                 if pre.is_certified:
                     pres = _polish(Y_explicit)
+                elif abs(pre.theta) <= 10.0 * result.gradfx_norm:
+                    # marginal NOT-PSD verdict: at the unpolished float32
+                    # point the Λ(Y) blocks carry O(|grad|) error, so a
+                    # barely-negative θ can be a residual artifact rather
+                    # than a real saddle (advisor r4) — polish to a
+                    # rigorously stationary point and let the full
+                    # re-certification below decide
+                    vprint(
+                        f"[t={time.time()-t_start:7.2f}s] pre-certificate "
+                        f"marginal (|theta| {abs(pre.theta):.2e} ≲ |grad| "
+                        f"{result.gradfx_norm:.2e}) — polishing before the "
+                        f"final verdict"
+                    )
+                    pres = _polish(Y_explicit)
                 else:
                     cert_final = pre
             else:

@@ -108,3 +108,43 @@ def test_project_to_SOd():
         for i in range(6):
             np.testing.assert_allclose(R[i] @ R[i].T, np.eye(d), atol=1e-10)
             np.testing.assert_allclose(np.linalg.det(R[i]), 1.0, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# ill-conditioned d=3 projection (advisor r4: the guarded Newton-Schulz
+# produced ||PP^T - I|| ~ 1 on anisotropic I + alpha^2 v v^T Grams from
+# large-alpha saddle-escape trial retractions)
+# ---------------------------------------------------------------------------
+
+
+def _rank1_perturbed_blocks(alpha, n=8, d=3, r=5, dtype=np.float64):
+    rng = np.random.default_rng(7)
+    Y = np.asarray(mf.stiefel_project(jnp.asarray(rng.normal(size=(n, d, r)))))
+    u = rng.normal(size=(n, d, 1))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    w = rng.normal(size=(n, 1, r))
+    w /= np.linalg.norm(w, axis=2, keepdims=True)
+    return jnp.asarray(Y + alpha * u * w, dtype=dtype)
+
+
+@pytest.mark.parametrize("alpha", [1.0, 1e2, 1e3, 1e6])
+def test_stiefel_projection_anisotropic_f64(alpha):
+    """Exact closed form: near-orthonormal output for any conditioning."""
+    A = _rank1_perturbed_blocks(alpha)
+    P = np.asarray(mf.stiefel_project(A))
+    G = np.einsum("ndr,ner->nde", P, P)
+    assert np.isfinite(P).all()
+    assert np.abs(G - np.eye(3)).max() < 1e-6
+
+
+@pytest.mark.parametrize("alpha", [1e2, 1e3, 1e4])
+def test_stiefel_projection_anisotropic_f32(alpha):
+    """float32 QDWH works on A directly (no Gram squaring), so the
+    output is orthonormal to ~eps for any conditioning (the old guarded
+    Newton-Schulz gave ||PP^T - I|| ~ 1 already at alpha=1e3)."""
+    A = _rank1_perturbed_blocks(alpha, dtype=jnp.float32)
+    P = np.asarray(mf.stiefel_project(A))
+    G = np.einsum("ndr,ner->nde", P, P)
+    assert np.isfinite(P).all()
+    err = np.abs(G - np.eye(3)).max()
+    assert err < 1e-5, f"alpha={alpha}: ||PP^T - I|| = {err}"
