@@ -295,27 +295,32 @@ class Problem:
                 )
         return cache[key]
 
-    def sharded_operator(self, mesh, dtype=np.float64):
-        """Cached edge-sharded Q·Y operator over a `jax.sharding.Mesh`.
+    def sharded_operator(self, mesh, dtype=np.float64, blockrow=True):
+        """Cached sharded Q·Y operator over a `jax.sharding.Mesh`.
 
-        State stays replicated; measurement edges are sharded over the
-        mesh's `graph` axis with one psum per application
-        (`cora_tpu.parallel.sharding`). Explicit formulation only — the
-        implicit operator's banded translation solve is replicated math
-        and uses the plain operator path.
+        State stays replicated. Default backend is the block-row design
+        (`make_blockrow_operator`): per-device work O(N/K), one small
+        separator psum + one all_gather per application. `blockrow=False`
+        selects the simpler edge-sharded variant (full-height psum).
+        Explicit formulation only — the implicit operator's banded
+        translation solve is replicated math and uses the plain
+        operator path.
         """
         from cora_tpu.parallel import sharding as shd
 
         # Mesh is hashable — keying on the object (not id()) means a new
         # Mesh can never alias a garbage-collected one's cache entry
-        key = (mesh, np.dtype(dtype).name)
+        key = (mesh, np.dtype(dtype).name, bool(blockrow))
         cache = getattr(self, "_sharded_op_cache", None)
         if cache is None:
             cache = self._sharded_op_cache = {}
         if key not in cache:
             pd = self.device_data(dtype)
-            pds = shd.shard_problem_data(pd, mesh)
-            op = shd.make_sharded_operator(pds, mesh)
+            if blockrow:
+                op = shd.make_blockrow_operator(pd, mesh)
+            else:
+                pds = shd.shard_problem_data(pd, mesh)
+                op = shd.make_sharded_operator(pds, mesh)
             op.implicit = None
             cache[key] = op
         return cache[key]

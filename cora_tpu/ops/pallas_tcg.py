@@ -37,9 +37,18 @@ from cora_tpu.ops.tiles import TilePlan, TileOps
 
 LANES = tile_mod.LANES
 
-# VMEM budget guard: inputs + scratch must fit on-chip (~16 MiB/core on
-# v5e); beyond this the caller falls back to the XLA path
-VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# VMEM budget guard for the chunk kernel (the largest resident set):
+# the kernel asks Mosaic for a 100 MiB scoped limit (v5e has 128 MiB of
+# VMEM); the estimate below must fit with headroom. A problem that
+# passes this guard but still fails to compile falls back to the XLA
+# path at runtime (`KernelCompileError` caught in
+# `cora_tpu.solve.tnt_tiles.tnt_solve_tiles` / `staircase.run_tnt`).
+VMEM_BUDGET_BYTES = 80 * 1024 * 1024
+
+
+class KernelCompileError(RuntimeError):
+    """Mosaic rejected the kernel (VMEM, lowering, …) — callers fall
+    back to the XLA TNT path."""
 
 
 def _const_items(plan: TilePlan):
@@ -49,13 +58,16 @@ def _const_items(plan: TilePlan):
 
 
 def plan_vmem_bytes(plan: TilePlan) -> int:
+    """Resident-set estimate of the CHUNK kernel (the peak consumer):
+    9 input + 9 aliased-output + 9 scratch state tiles (= 9 full
+    [P, S, L] states) plus ~6 states' worth of loop temporaries
+    (Hd/z/retraction intermediates), plus the constant tiles."""
     const = sum(
         plan.const[k].size * (2 if k in PallasTNT.BF16_KEYS else 4)
         for k in _const_items(plan)
     )
-    state = 3 * (2 * plan.q * plan.r + 2 * plan.S * plan.r) * plan.n_pad * 4
-    work = 10 * (2 * plan.q * plan.r + 2 * plan.S * plan.r) * plan.n_pad * 4
-    return const + state + work
+    state = (2 * plan.q * plan.r + 2 * plan.S * plan.r) * plan.n_pad * 4
+    return const + 15 * state
 
 
 def kernel_supported(plan: TilePlan) -> str | None:
@@ -98,14 +110,16 @@ class PallasTNT:
     operands via `self.consts`.
     """
 
-    # doubling-scan propagators stored bf16: preconditioner-internal data
-    # (only shapes the tCG search space), and the VMEM budget of the
-    # whole-chunk kernel needs the headroom. Storage rounding cannot break
-    # the preconditioner's positive-definiteness: the backward solve is
-    # evaluated as the exact adjoint of the forward network
-    # (`TileOps._solve_B`), so P = (L̃^{-1})^T L̃^{-1} for the SAME stored
-    # propagators.
-    BF16_KEYS = ("AF",)
+    # Propagators are stored float32 (round 5): plaza2's whole plan is
+    # ~5 MiB against the chunk kernel's 100 MiB VMEM window, so the old
+    # bf16 squeeze (a relic of the 13 MiB guard) bought nothing and cost
+    # trajectory parity — the perturbed preconditioner steered the f32
+    # staircase into a different (worse) basin than the XLA path on
+    # plaza2. PSD-robustness note kept for any future bf16 revival:
+    # evaluate the backward solve as the exact adjoint of the forward
+    # network (`TileOps._solve_B`) so P = (L̃^{-1})^T L̃^{-1} holds for
+    # the STORED propagators regardless of storage rounding.
+    BF16_KEYS = ()
 
     def __init__(self, plan: TilePlan, params, interpret: bool = False):
         self.plan = plan

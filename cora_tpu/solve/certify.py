@@ -394,6 +394,25 @@ def certify_solution(
 
     if psd_known:
         certified = False
+        if theta > -eta / 2.0:
+            # the exact banded decision says λ_min(S) < −η, but the
+            # device LOBPCG exited near θ ≈ 0 — its (bootstrap-seeded)
+            # block converged to the wrong end of the spectrum, and a
+            # zero-curvature escape direction stalls the whole staircase
+            # (observed: θ = −5·10⁻⁸ after 2 iterations while the level
+            # was genuinely not optimal). Get a trustworthy direction
+            # from the host shift-invert Lanczos instead.
+            from cora_tpu.solve.verification import verify_psd_host
+
+            hv = verify_psd_host(
+                S_sparse, eta, nev=num_eigvecs,
+                v0=np.asarray(x, np.float64), maxiter=max_lobpcg_iters,
+            )
+            if np.isfinite(hv.theta):
+                theta = float(hv.theta)
+                x = hv.x.astype(np.asarray(x).dtype)
+                X_blk = hv.eigvecs.astype(np.asarray(X_blk).dtype)
+                iters += int(hv.num_eig_iters)
     else:
         # no exact factorization available: certify only on a *converged*
         # non-negative verdict (a barely-negative unconverged Ritz value

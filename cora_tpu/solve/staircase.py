@@ -243,9 +243,12 @@ def solve_cora(
     )
     _kernel_fallback_reported = set()
 
+    kernel_disabled = [False]  # set on a runtime compile failure
+
     def run_tnt(X, **kw):
         """One TNT solve, on the fused-kernel backend when available."""
-        if kernel_eligible:
+        if kernel_eligible and not kernel_disabled[0]:
+            from cora_tpu.ops.pallas_tcg import KernelCompileError
             from cora_tpu.solve.tnt_tiles import (
                 get_kernel_backend,
                 tnt_solve_tiles,
@@ -259,8 +262,16 @@ def solve_cora(
             if backend is not None:
                 plan_r, kern = backend
                 kw.pop("log_iterates", None)
-                return tnt_solve_tiles(plan_r, kern, X, config.tnt, **kw)
-            if reason not in _kernel_fallback_reported:
+                try:
+                    return tnt_solve_tiles(plan_r, kern, X, config.tnt, **kw)
+                except KernelCompileError as e:
+                    # the VMEM estimate passed but Mosaic rejected the
+                    # kernel — restart this solve on the XLA path and
+                    # stop retrying the kernel for this staircase
+                    kernel_disabled[0] = True
+                    vprint(f"[pallas] kernel compile failed, using XLA "
+                           f"path: {e}")
+            elif reason not in _kernel_fallback_reported:
                 _kernel_fallback_reported.add(reason)
                 vprint(f"[pallas] falling back to XLA path: {reason}")
         return tnt_solve(
@@ -491,7 +502,8 @@ def solve_cora(
         t_e = time.time()
         with timer("saddle_escape"):
             X = None
-            if kernel_eligible:
+            if kernel_eligible and not kernel_disabled[0]:
+                from cora_tpu.ops.pallas_tcg import KernelCompileError
                 from cora_tpu.solve.tnt_tiles import (
                     get_kernel_backend,
                     saddle_escape_tiles,
@@ -503,11 +515,16 @@ def solve_cora(
                     interpret=kernel_interpret,
                 )
                 if backend is not None:
-                    X = saddle_escape_tiles(
-                        backend[0], backend[1], result.x, cert.theta, v,
-                        SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL,
-                        verbose=verbose,
-                    )
+                    try:
+                        X = saddle_escape_tiles(
+                            backend[0], backend[1], result.x, cert.theta, v,
+                            SADDLE_GRAD_TOL, PRECON_SADDLE_GRAD_TOL,
+                            verbose=verbose,
+                        )
+                    except Exception as e:  # noqa: BLE001 — Mosaic reject
+                        kernel_disabled[0] = True
+                        vprint(f"[pallas] ladder kernel failed, using XLA "
+                               f"escape: {e}")
             if X is None:
                 X = saddle_escape(
                     pd, result.x, cert.theta, v, precon,

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cora_tpu.ops import tiles as tile_mod
-from cora_tpu.ops.pallas_tcg import PallasTNT, kernel_supported
+from cora_tpu.ops.pallas_tcg import (
+    KernelCompileError,
+    PallasTNT,
+    kernel_supported,
+)
 from cora_tpu.solve.tnt import (
     CHUNK_ITERS,
     GRAD_TOL,
@@ -85,8 +89,20 @@ def tnt_solve_tiles(
     Delta = float(params.delta0)
     finish = dec = stp = 0
     timed_out = False
-    chunk_iters = CHUNK_ITERS
-    while status == RUNNING and k < iter_cap:
+    # the FIRST chunk is a 0-iteration init-only dispatch: it absorbs the
+    # Mosaic compile OUTSIDE the level's wall-clock budget (a cold
+    # compile inside the budget turned levels into TIME_CAP ramp-lifts,
+    # making trajectories depend on the compile cache — observed as
+    # run-to-run nondeterminism), and evaluates f/grad/nablaF so the
+    # adaptive chunk sizing below starts from real state. The next chunk
+    # is small (8) to give the host an early per-iteration cost sample,
+    # so the per-rank time cap (reference `max_computation_time`,
+    # `src/CORA.cpp:106`) is enforceable from the start — a
+    # 128-iteration first chunk made a slow kernel uninterruptible for
+    # minutes (VERDICT r4).
+    chunk_iters = 8
+    first_call = True
+    while (status == RUNNING and k < iter_cap) or first_call:
         # adaptive chunk sizing — see `tnt.tnt_solve` (per-rank time cap
         # cannot overshoot by more than ~half the remaining budget)
         if k > 0 and max_time is not None:
@@ -94,7 +110,8 @@ def tnt_solve_tiles(
             remaining = max(max_time - (time.time() - t0), 0.0)
             chunk_iters = int(
                 min(max(remaining * 0.5 / per_iter, 8), CHUNK_ITERS))
-        chunk_end = min(k + chunk_iters, iter_cap)
+        chunk_end = min(k, iter_cap) if first_call else min(
+            k + chunk_iters, iter_cap)
         fscal = jnp.asarray(np.array(
             [f, gn, pgn, Delta, lift_grad_norm, stall_tol, 0.0, 0.0],
             np.float32))
@@ -104,12 +121,23 @@ def tnt_solve_tiles(
              init_flag, 0],
             np.int32))
         init_flag = 0
-        Yt, gt, nFt, fs, isc, hists = kern.chunk(
-            Yt, gt, nFt, fscal, iscal, hists, history_len=H)
-        fs = np.asarray(jax.device_get(fs), np.float64)
+        try:
+            Yt, gt, nFt, fs, isc, hists = kern.chunk(
+                Yt, gt, nFt, fscal, iscal, hists, history_len=H)
+            fs = np.asarray(jax.device_get(fs), np.float64)
+        except Exception as e:  # noqa: BLE001 — Mosaic/XLA compile or OOM
+            if first_call:
+                # nothing computed yet: the caller restarts this solve on
+                # the XLA path from the same Y0 (`staircase.run_tnt`)
+                raise KernelCompileError(str(e)) from e
+            raise
         isc = np.asarray(jax.device_get(isc), np.int64)
         f, gn, pgn, Delta = (float(x) for x in fs)
         k, status, finish, dec, stp = (int(x) for x in isc)
+        if first_call:
+            # compile + init absorbed; the level's clock starts now
+            first_call = False
+            t0 = time.time()
         if (
             status == RUNNING and k < iter_cap
             and max_time is not None

@@ -192,3 +192,40 @@ def test_lred_factor_multi_robot_bandwidth():
 
     out = np.asarray(impl.product(jnp.asarray(Y)))
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "subdir", ["single_rpm", "single_range", "small_ra_slam_problem"]
+)
+def test_blockrow_product_matches_local(fixtures_dir, mesh, subdir):
+    """Block-row operator (separator psum + all_gather) is exact."""
+    from cora_tpu.parallel.sharding import make_blockrow_operator
+
+    problem = parse_pyfg(str(fixtures_dir / subdir / "factor_graph.pyfg"))
+    pd = problem.device_data()
+    op = make_blockrow_operator(pd, mesh)
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.standard_normal((pd.size, 4)))
+    got = np.asarray(op(Y))
+    want = np.asarray(data_matrix_product(pd, Y))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-10 * scale)
+
+
+def test_blockrow_product_synthetic_cross_block(mesh):
+    """Loop closures + landmarks + ranges crossing block boundaries all
+    route through the separator correctly (exactness at plaza2-like
+    structure, small size)."""
+    from cora_tpu.models.synthetic import synthetic_problem
+    from cora_tpu.parallel.sharding import make_blockrow_operator
+
+    problem = synthetic_problem(n_poses=300, n_landmarks=5, n_ranges=150,
+                                seed=3)
+    pd = problem.device_data(dtype=np.float32)
+    op = make_blockrow_operator(pd, mesh)
+    rng = np.random.default_rng(1)
+    Y = jnp.asarray(rng.standard_normal((pd.size, 3)), jnp.float32)
+    got = np.asarray(op(Y))
+    want = np.asarray(data_matrix_product(pd, Y))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale)
