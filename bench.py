@@ -152,19 +152,26 @@ def scale_bench(quiet=False):
 
 
 def multichip_bench(quiet=False):
-    """Sharded-vs-single Hv throughput over all local devices (scaling
-    efficiency proxy; real multi-host runs use the same code path).
-    Run with CORA_BENCH_MODE=multichip (e.g. on the 8-virtual-device
-    CPU mesh)."""
+    """Sharded-vs-single Hv throughput (block-row operator,
+    `cora_tpu.parallel.sharding.make_blockrow_operator`) over local
+    devices. Run with CORA_BENCH_MODE=multichip (e.g. on the
+    8-virtual-device CPU mesh).
+
+    Reports the full-mesh efficiency AND a 2-device submesh: on a
+    2-physical-core host the 8-virtual-device number is bounded by 2/8 =
+    0.25 even for perfect sharding (8 device threads share 2 cores, and
+    the in-process collective rendezvous adds a multi-ms floor), so the
+    2-device figure — one device per core — is the honest CPU-mesh
+    scaling signal. On real TPU ICI the collective cost is
+    ~N·r·4B / 45 GB/s (all_gather) + σ·r·4B (separator psum), both ≪ the
+    per-device compute at these sizes."""
     import jax
     import numpy as np
 
     from cora_tpu.models.synthetic import synthetic_problem
     from cora_tpu.ops.quadratic import data_matrix_product
     from cora_tpu.ops.riemannian import random_initial_guess
-    from cora_tpu.parallel.sharding import (
-        make_mesh, make_sharded_operator, shard_problem_data,
-    )
+    from cora_tpu.parallel.sharding import make_blockrow_operator, make_mesh
 
     n_poses = int(os.environ.get("CORA_BENCH_POSES", "100000"))
     dtype_name = os.environ.get("CORA_BENCH_DTYPE", "float32")
@@ -174,33 +181,36 @@ def multichip_bench(quiet=False):
     pd = problem.device_data(dtype=np.dtype(dtype_name).type)
     Y = random_initial_guess(pd, 4, jax.random.PRNGKey(0))
 
-    def timeit(op, Y):
+    def timeit(op, Y, n=20):
+        # block every iteration: queueing many collective programs on the
+        # virtual CPU mesh starves the in-process rendezvous (8 device
+        # threads on few cores) and aborts the process
         op(Y).block_until_ready()
         t0 = time.time()
-        out = Y
-        for _ in range(50):
-            out = op(out)
-        out.block_until_ready()
-        return (time.time() - t0) / 50
+        for _ in range(n):
+            op(Y).block_until_ready()
+        return (time.time() - t0) / n
 
     t_single = timeit(jax.jit(lambda V: data_matrix_product(pd, V)), Y)
     ndev = len(jax.devices())
+    extra = {"t_single_ms": round(t_single * 1e3, 3),
+             "n_devices": ndev, "n_poses": n_poses, "dtype": dtype_name}
+    eff = float("nan")
     if ndev > 1:
         mesh = make_mesh()
-        op = make_sharded_operator(shard_problem_data(pd, mesh), mesh)
-        t_sharded = timeit(jax.jit(op), Y)
+        t_sharded = timeit(jax.jit(make_blockrow_operator(pd, mesh)), Y)
         eff = t_single / (t_sharded * ndev)
-    else:
-        t_sharded, eff = float("nan"), float("nan")
+        extra["t_sharded_ms"] = round(t_sharded * 1e3, 3)
+        mesh2 = make_mesh(devices=jax.devices()[:2])
+        t_2dev = timeit(jax.jit(make_blockrow_operator(pd, mesh2)), Y)
+        extra["t_2dev_ms"] = round(t_2dev * 1e3, 3)
+        extra["eff_2dev"] = round(t_single / (t_2dev * 2), 3)
     res = {
         "metric": f"sharded_hv_scaling_{ndev}_devices",
         "value": round(eff, 3) if eff == eff else None,
         "unit": "efficiency",
         "vs_baseline": None,
-        "extra": {"t_single_ms": round(t_single * 1e3, 3),
-                  "t_sharded_ms": round(t_sharded * 1e3, 3) if t_sharded == t_sharded else None,
-                  "n_devices": ndev, "n_poses": n_poses,
-                  "dtype": dtype_name},
+        "extra": extra,
     }
     if not quiet:
         print(json.dumps(res))
@@ -217,8 +227,17 @@ def _solve_dataset(path, cfg, warmup=True):
     problem = parse_pyfg(path)
     if warmup:
         solve_cora(problem, config=cfg)  # warmup: compiles every rank level
+    trace_dir = os.environ.get("CORA_BENCH_TRACE")
     t0 = time.time()
-    res = solve_cora(problem, config=cfg)
+    if trace_dir:
+        # xprof capture of the timed solve (phases annotated via
+        # PhaseTimer -> named_scope); view with tensorboard/xprof
+        from cora_tpu.utils.timing import profiler_trace
+
+        with profiler_trace(trace_dir):
+            res = solve_cora(problem, config=cfg)
+    else:
+        res = solve_cora(problem, config=cfg)
     wall = time.time() - t0
     t_cert = (
         res.elapsed_to_certificate

@@ -184,10 +184,10 @@ class RowBlockPlan:
     rng_ti: np.ndarray; rng_tj: np.ndarray; rng_r: np.ndarray; rng_omega: np.ndarray
     rng_s_glob: np.ndarray  # global sphere row of each local range edge
     rng_s_loc: np.ndarray; rng_ti_loc: np.ndarray; rng_tj_loc: np.ndarray
-    # separator merge maps, (K, σ): local index if owned else dump slot
-    sep_rot_merge: np.ndarray
-    sep_tr_merge: np.ndarray
-    # global reassembly indices
+    # global reassembly indices (replicated)
+    sep_rot_ids: np.ndarray  # (σr,) global pose ids of the rot separators
+    sep_tr_ids: np.ndarray   # (σt_pose,) global pose-translation separator ids
+    sep_tr_sel: np.ndarray   # (σt_pose,) their slots within sep_tr
     sph_unperm: np.ndarray   # (m,) flat index into (K·m_loc) gathered sphere rows
     lm_sel: np.ndarray       # (l,) separator-tr slots of the landmark rows
 
@@ -310,15 +310,7 @@ def build_rowblock_plan(pd: ProblemData, K: int) -> RowBlockPlan:
         b_rng_til[k, cnt:] = B + n_st
         b_rng_tjl[k, cnt:] = B + n_st
 
-    # separator merge maps: local index of a sep unit on its owner,
-    # dump slot everywhere else
-    sep_rot_merge = np.full((K, max(n_sr, 1)), B, np.int64)
-    for i, p in enumerate(sep_rot):
-        sep_rot_merge[owner(p), i] = int(p) - owner(p) * B
-    sep_tr_merge = np.full((K, max(n_st, 1)), B, np.int64)
-    for i, t in enumerate(sep_tr):
-        if t < n:
-            sep_tr_merge[owner(t), i] = int(t) - owner(t) * B
+    sep_tr_sel = np.nonzero(sep_tr < n)[0] if n_st else np.zeros(0, np.int64)
     lm_sel = np.array([sep_tr_pos[n + i] for i in range(l)], np.int64)
 
     i32 = lambda a: np.ascontiguousarray(a, np.int32)
@@ -334,7 +326,9 @@ def build_rowblock_plan(pd: ProblemData, K: int) -> RowBlockPlan:
         rng_r=np.ascontiguousarray(b_rng_r), rng_omega=np.ascontiguousarray(b_rng_om),
         rng_s_glob=i32(b_rng_sg),
         rng_s_loc=i32(b_rng_s), rng_ti_loc=i32(b_rng_til), rng_tj_loc=i32(b_rng_tjl),
-        sep_rot_merge=i32(sep_rot_merge), sep_tr_merge=i32(sep_tr_merge),
+        sep_rot_ids=i32(sep_rot), sep_tr_ids=i32(sep_tr[sep_tr_sel]
+                                                 if n_st else sep_tr),
+        sep_tr_sel=i32(sep_tr_sel),
         sph_unperm=i32(sph_unperm), lm_sel=i32(lm_sel),
     )
 
@@ -354,15 +348,20 @@ def make_blockrow_operator(pd: ProblemData, mesh: Mesh, plan=None):
     nd = pd.rot_size
     shard = NamedSharding(mesh, P(AXIS))
 
+    replicated = ("sph_unperm", "lm_sel", "sep_rot_ids", "sep_tr_ids",
+                  "sep_tr_sel")
     dev = {
         f.name: jax.device_put(jnp.asarray(getattr(plan, f.name)), shard)
         for f in dataclasses.fields(plan)
         if isinstance(getattr(plan, f.name), np.ndarray)
-        and f.name not in ("sph_unperm", "lm_sel")
+        and f.name not in replicated
     }
     specs = {k: P(AXIS) for k in dev}
     plan_sph_unperm = jnp.asarray(plan.sph_unperm)
     plan_lm_sel = jnp.asarray(plan.lm_sel)
+    plan_sep_rot_ids = jnp.asarray(plan.sep_rot_ids)
+    plan_sep_tr_ids = jnp.asarray(plan.sep_tr_ids)
+    plan_sep_tr_sel = jnp.asarray(plan.sep_tr_sel)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -426,32 +425,31 @@ def make_blockrow_operator(pd: ProblemData, mesh: Mesh, plan=None):
             tr_buf = tr_buf - seg(
                 wr, sq(c["rng_ti_loc"]), num_segments=B + n_st + 1)
 
-        # one small psum: the separator rows only
-        loc_rot = rot_buf[:B]
-        loc_tr = tr_buf[:B]
-        sep_tr = jnp.zeros((0, r), Y.dtype)
-        if n_sr or n_st:
-            sep = jnp.concatenate(
-                [rot_buf[B:B + n_sr].reshape(n_sr * d, r),
-                 tr_buf[B:B + n_st]], axis=0)
-            sep = jax.lax.psum(sep, AXIS)
-            sep_rot = sep[: n_sr * d].reshape(n_sr, d, r)
-            sep_tr = sep[n_sr * d:]
-            # owners fold separator rows into their local blocks
-            if n_sr:
-                loc_rot = loc_rot + seg(
-                    sep_rot, sq(c["sep_rot_merge"])[:n_sr],
-                    num_segments=B + 1)[:B]
-            if n_st:
-                loc_tr = loc_tr + seg(
-                    sep_tr, sq(c["sep_tr_merge"])[:n_st],
-                    num_segments=B + 1)[:B]
+        # ONE collective per application: fuse the local row blocks AND
+        # the separator contributions into a single all_gather, then do
+        # the (cheap, replicated) separator reduction and reassembly on
+        # every device — a psum + 3 gathers paid 4× the virtual-mesh
+        # rendezvous floor for nothing
+        local = jnp.concatenate([
+            rot_buf[:B].reshape(B * d, r),
+            tr_buf[:B],
+            sph_buf[:m_loc],
+            rot_buf[B:B + n_sr].reshape(n_sr * d, r),
+            tr_buf[B:B + n_st],
+        ], axis=0)
+        g = jax.lax.all_gather(local, AXIS)  # (K, L, r)
+        sep_off = B * d + B + m_loc
+        sep = jnp.sum(g[:, sep_off:], axis=0)
+        sep_rot = sep[: n_sr * d].reshape(n_sr, d, r)
+        sep_tr = sep[n_sr * d:]
 
-        # reassemble the replicated output: all_gather the row blocks
-        g_rot = jax.lax.all_gather(loc_rot, AXIS).reshape(K * B, d, r)[:n]
-        g_tr = jax.lax.all_gather(loc_tr, AXIS).reshape(K * B, r)[:n]
-        g_sph = jax.lax.all_gather(
-            sph_buf[:m_loc], AXIS).reshape(K * m_loc, r)
+        g_rot = g[:, : B * d].reshape(K * B, d, r)[:n]
+        g_tr = g[:, B * d: B * d + B].reshape(K * B, r)[:n]
+        if n_sr:
+            g_rot = g_rot.at[plan_sep_rot_ids].add(sep_rot)
+        if plan_sep_tr_ids.shape[0]:
+            g_tr = g_tr.at[plan_sep_tr_ids].add(sep_tr[plan_sep_tr_sel])
+        g_sph = g[:, B * d + B: sep_off].reshape(K * m_loc, r)
         sph_out = g_sph[plan_sph_unperm] if m else jnp.zeros((0, r), Y.dtype)
         lm_out = sep_tr[plan_lm_sel] if l else jnp.zeros((0, r), Y.dtype)
         return jnp.concatenate(

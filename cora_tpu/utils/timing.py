@@ -31,7 +31,11 @@ class PhaseTimer:
     def __call__(self, name: str):
         t0 = time.time()
         try:
-            yield
+            # annotate the phase in device traces too (no-op outside an
+            # active `profiler_trace` capture) so wall-clock phases and
+            # xprof timelines line up
+            with named_scope(name):
+                yield
         finally:
             self.totals[name] += time.time() - t0
             self.counts[name] += 1
