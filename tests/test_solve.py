@@ -176,3 +176,22 @@ def test_block_cholesky_preconditioner_matches_dense(fixtures_dir):
         problem, pd, Preconditioner.REGULARIZED_CHOLESKY
     )
     assert not np.allclose(np.asarray(reg(jnp.asarray(V))), got)
+
+
+def test_mrclam_inter_robot_certified_solve(datasets_dir):
+    """mrclam5a end-to-end: multi-robot graph with inter-robot ranges —
+    the structure the banded band and the tile-kernel plan do NOT cover,
+    so this exercises the general-graph fallbacks (reference experiment
+    grid, `examples/paper_experiments.cpp:708-732`)."""
+    path = (datasets_dir / "mrclam" / "range_and_rpm" / "mrclam5a"
+            / "mrclam5a.pyfg")
+    if not path.exists():
+        pytest.skip("mrclam5a not in reference snapshot")
+    problem = parse_pyfg(str(path))
+    pd = problem.device_data(dtype=np.float32)
+    assert pd.n == 1080 and pd.m == 316 and pd.d == 2
+    res = solve_cora(problem, config=SolverConfig(
+        dtype=np.float32, max_staircase_iterations=60,
+        ramp_tcg_iterations=24))
+    assert res.certified
+    assert res.result.f == pytest.approx(69.10, abs=0.5)
