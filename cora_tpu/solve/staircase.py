@@ -60,6 +60,7 @@ from cora_tpu.types import (
     CertResults,
     CoraResult,
     Formulation,
+    Initialization,
     Preconditioner,
     SolverConfig,
 )
@@ -172,6 +173,13 @@ def solve_cora(
 
     state_height = pd.rot_range_size if implicit else pd.size
     rank = problem.dim + config.init_rank_jump
+    if x0 is None and config.initialization == Initialization.ODOMETRY:
+        # reference odometry initialization (`paper_experiments.cpp:
+        # 441-520`): chain-composed rotations, priors/ranges seeded from
+        # the measurements
+        from cora_tpu.models.init import odometry_initialization
+
+        x0 = odometry_initialization(problem, rank=rank, seed=config.seed)
     if ckpt is not None:
         X = jnp.asarray(ckpt.Y, dtype=config.dtype)
         rank = ckpt.rank
