@@ -222,6 +222,80 @@ def animate_iterates(
     return path
 
 
+def play_iterates(
+    problem: Problem,
+    iterates,
+    config=None,
+    fps: int = 10,
+    max_frames: int = 200,
+    show_ranges: bool = False,
+    block: bool = True,
+):
+    """LIVE playback window of a solve's TNT iterates — the interactive
+    analog of the reference's two-thread render/playback visualization
+    (`src/CORA_vis.cpp:55` thread spawn + `dataPlaybackLoop`): frames are
+    drawn at `fps` into an interactive matplotlib window while the
+    program continues (set ``block=False`` to return immediately after
+    scheduling the animation; the reference's render thread equivalent).
+    Falls back gracefully under a non-interactive backend (Agg): every
+    frame is still rendered, which is what the smoke test exercises.
+
+    Run the solve with ``SolverConfig(log_iterates=True)`` first.
+    """
+    plt = _mpl()
+
+    aligned = project_and_align_iterates(problem, iterates, config)
+    frames = [aligned[i] for i in _decimate(len(aligned), max_frames)]
+    if not frames:
+        raise ValueError("no iterates to play (set log_iterates=True)")
+
+    d = problem.dim
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d" if d == 3 else None)
+    all_pts = np.concatenate([f[problem.rot_and_range_matrix_size:, :d]
+                              for f in (frames[0], frames[-1])])
+    lo, hi = all_pts.min(axis=0), all_pts.max(axis=0)
+    pad = 0.1 * np.maximum(hi - lo, 1e-6)
+
+    def draw(k):
+        ax.cla()
+        robots, landmarks, ranges = _soln_points(problem, frames[k])
+        if show_ranges:
+            for a, b in ranges:
+                seg = np.stack([a, b])
+                ax.plot(*seg.T, color="0.85", lw=0.3)
+        for ch, traj in robots.items():
+            ax.plot(*traj.T, lw=1.0, label=f"robot {ch}")
+        if len(landmarks):
+            ax.scatter(*landmarks.T, marker="*", s=120, color="tab:red")
+        ax.set_xlim(lo[0] - pad[0], hi[0] + pad[0])
+        ax.set_ylim(lo[1] - pad[1], hi[1] + pad[1])
+        if d == 3:
+            ax.set_zlim(lo[2] - pad[2], hi[2] + pad[2])
+        else:
+            ax.set_aspect("equal")
+        ax.set_title(f"iterate {k + 1}/{len(frames)}")
+
+    interactive = plt.get_backend().lower() not in ("agg", "pdf", "svg")
+    if interactive:
+        plt.ion()
+        fig.show()
+    for k in range(len(frames)):
+        draw(k)
+        if interactive:
+            fig.canvas.draw_idle()
+            fig.canvas.flush_events()
+            plt.pause(1.0 / fps)
+        else:
+            fig.canvas.draw()
+    if interactive and block:
+        plt.ioff()
+        plt.show()
+    else:
+        plt.close(fig)
+    return len(frames)
+
+
 def plot_range_calibration(problem: Problem, path: str | None = None):
     """Range-measurement calibration: measured range vs ground-truth
     distance, plus the residual histogram (the reference's

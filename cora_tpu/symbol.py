@@ -73,3 +73,23 @@ SymbolPair = tuple[Symbol, Symbol]
 def pair_matches(a: SymbolPair, b: SymbolPair) -> bool:
     """Unordered pair equality (reference ``PairMeasurement::hasSymbolPair``)."""
     return (a[0] == b[0] and a[1] == b[1]) or (a[0] == b[1] and a[1] == b[0])
+
+
+def _make_shorthand(c):
+    def ctor(j: int) -> int:
+        return Symbol(c, j).key()
+
+    ctor.__name__ = c
+    ctor.__doc__ = f"shorthand::{c}(j) — key for Symbol('{c}', j) " \
+        "(reference `Symbol.h` shorthand namespace)."
+    return ctor
+
+
+class shorthand:
+    """`shorthand.A(j) .. shorthand.Z(j)` key constructors (reference
+    `include/CORA/Symbol.h` `namespace shorthand`), plus lowercase."""
+
+
+for _c in (chr(o) for r in ((65, 91), (97, 123)) for o in range(*r)):
+    setattr(shorthand, _c, staticmethod(_make_shorthand(_c)))
+del _c

@@ -39,3 +39,13 @@ def test_pair_matches_unordered():
     a, b = Symbol("A", 0), Symbol("B", 4)
     assert pair_matches((a, b), (b, a))
     assert not pair_matches((a, b), (a, Symbol("B", 5)))
+
+
+def test_shorthand_constructors():
+    """Reference `Symbol.h` `shorthand::A..Z` (and lowercase)."""
+    from cora_tpu.symbol import Symbol, shorthand
+
+    assert shorthand.A(0) == Symbol("A", 0).key()
+    assert shorthand.Z(123) == Symbol("Z", 123).key()
+    assert shorthand.b(5) == Symbol("b", 5).key()
+    assert Symbol(shorthand.L(42)) == Symbol("L", 42)

@@ -63,3 +63,14 @@ def test_range_calibration_plot(small_problem, tmp_path):
     out = tmp_path / "calib.png"
     plot_range_calibration(small_problem, str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_play_iterates_renders_frames(small_problem, solved):
+    """Live playback loop (reference CORA_vis renderLoop analog) renders
+    every frame under the headless Agg backend."""
+    from cora_tpu.io.viz import play_iterates
+
+    cfg, res = solved
+    n = play_iterates(small_problem, res.result.iterates, config=cfg,
+                      max_frames=5, block=False)
+    assert n == min(5, len(res.result.iterates))
